@@ -1,0 +1,243 @@
+"""User-facing driver mirroring the reference's ROS node + service surface.
+
+Re-expression of SlamToolbox (slam_toolbox_common.{hpp,cpp}) minus the ROS
+transport: scan ingestion gates (shouldProcessScan,
+slam_toolbox_common.cpp:740-786), mode dispatch (addScan, :798-859),
+map->odom maintenance (setTransformFromPoses, :657-712), map rendering
+(updateMap, :630-654), pose reporting with covariance scaling
+(publishPose, :862-884), serialize/deserialize services (:928-1079) with the
+DeserializePoseGraph match types, pause and reset. The sync/async mode
+split (slam_toolbox_sync.cpp / slam_toolbox_async.cpp) is a queue policy
+here: SlamSession.process_scan is synchronous; async behavior is obtained
+with drop_when_busy by the caller.
+"""
+from __future__ import annotations
+
+import enum
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from slam_toolbox_tpu.core import geometry
+from slam_toolbox_tpu.core.params import MapperConfig
+from slam_toolbox_tpu.core.scan import LaserConfig, LocalizedScan
+from slam_toolbox_tpu.kernels import occupancy
+from slam_toolbox_tpu.mapper import Mapper
+
+
+class ProcessType(enum.Enum):
+    """toolbox_types.hpp:85-91."""
+
+    PROCESS = 0
+    PROCESS_FIRST_NODE = 1
+    PROCESS_NEAR_REGION = 2
+    PROCESS_LOCALIZATION = 3
+
+
+class MatchType(enum.Enum):
+    """DeserializePoseGraph.srv match types."""
+
+    UNSET = 0
+    START_AT_FIRST_NODE = 1
+    START_AT_GIVEN_POSE = 2
+    LOCALIZE_AT_POSE = 3
+
+
+class SlamSession:
+    def __init__(
+        self,
+        config: Optional[MapperConfig] = None,
+        laser: Optional[LaserConfig] = None,
+        mode: str = "mapping",  # "mapping" | "localization"
+        throttle_scans: int = 1,
+        minimum_time_interval: float = 0.0,
+        position_covariance_scale: float = 1.0,
+        yaw_covariance_scale: float = 1.0,
+    ):
+        self.config = config or MapperConfig()
+        self.laser = laser
+        self.mapper = Mapper(self.config)
+        self.mode = mode
+        self.throttle_scans = max(int(throttle_scans), 1)
+        self.minimum_time_interval = float(minimum_time_interval)
+        self.position_covariance_scale = position_covariance_scale
+        self.yaw_covariance_scale = yaw_covariance_scale
+
+        self.processor_type = (
+            ProcessType.PROCESS_LOCALIZATION
+            if mode == "localization"
+            else ProcessType.PROCESS
+        )
+        self.process_near_pose: Optional[np.ndarray] = None
+        self.first_measurement = True
+        self.paused = False
+        self.scan_count = 0
+        self.last_scan_time = -np.inf
+        self.last_scan_odom: Optional[np.ndarray] = None
+        self.map_to_odom = np.zeros(3)
+        self.last_pose = np.zeros(3)
+        self.last_covariance = np.eye(3)
+
+    # -- gates (shouldProcessScan, slam_toolbox_common.cpp:740-786) ---------
+    def _should_process(self, scan: LocalizedScan) -> bool:
+        self.scan_count += 1
+        if self.paused:
+            return False
+        if self.scan_count <= 5:  # always process the first 5 scans
+            return True
+        if self.scan_count % self.throttle_scans != 0:
+            return False
+        if scan.time - self.last_scan_time < self.minimum_time_interval:
+            return False
+        if self.last_scan_odom is not None:
+            d = scan.odom_pose[:2] - self.last_scan_odom[:2]
+            min_d2 = (0.8 * self.config.minimum_travel_distance) ** 2
+            if d @ d < min_d2:
+                return False
+        return True
+
+    # -- main entry (laserCallback + addScan, :798-859) ---------------------
+    def process_scan(
+        self, ranges, odom_pose, time: float = 0.0
+    ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+        """Feed one scan. Returns (corrected_robot_pose, covariance) if the
+        scan was processed, else None."""
+        if self.laser is None:
+            raise ValueError("SlamSession requires a LaserConfig")
+        scan = LocalizedScan(self.laser, ranges, odom_pose, time=time)
+        if not self._should_process(scan):
+            return None
+
+        cov = np.eye(3)
+        pt = self.processor_type
+        if pt == ProcessType.PROCESS:
+            ok = self.mapper.process(scan, covariance_out=cov)
+        elif pt == ProcessType.PROCESS_FIRST_NODE:
+            ok = self.mapper.process_at_dock(scan, covariance_out=cov)
+            self.processor_type = ProcessType.PROCESS
+        elif pt == ProcessType.PROCESS_NEAR_REGION:
+            if self.process_near_pose is not None:
+                scan.set_corrected_pose(self.process_near_pose)
+                self.process_near_pose = None
+            ok = self.mapper.process_against_nodes_near_by(
+                scan,
+                add_to_buffer=self.mode == "localization",
+                covariance_out=cov,
+            )
+            self.processor_type = (
+                ProcessType.PROCESS_LOCALIZATION
+                if self.mode == "localization"
+                else ProcessType.PROCESS
+            )
+        elif pt == ProcessType.PROCESS_LOCALIZATION:
+            if self.first_measurement and self.mapper.initialized is False:
+                # steady-state localization requires a prior graph
+                ok = self.mapper.process_localization(scan, covariance_out=cov)
+            else:
+                ok = self.mapper.process_localization(scan, covariance_out=cov)
+        else:
+            return None
+
+        if not ok:
+            return None
+        self.first_measurement = False
+        self.last_scan_time = scan.time
+        self.last_scan_odom = np.array(scan.odom_pose)
+        self._set_transform_from_poses(scan)
+        self.last_pose = np.array(scan.corrected_pose)
+        self.last_covariance = np.array(cov)
+        self.last_covariance[:2, :2] *= self.position_covariance_scale
+        self.last_covariance[2, 2] *= self.yaw_covariance_scale
+        return scan.corrected_pose, self.last_covariance
+
+    def _set_transform_from_poses(self, scan: LocalizedScan) -> None:
+        """map->odom = corrected ⊕ odom^-1 (setTransformFromPoses,
+        slam_toolbox_common.cpp:657-712)."""
+        self.map_to_odom = np.asarray(
+            geometry.compose(
+                scan.corrected_pose, geometry.inverse(scan.odom_pose)
+            )
+        )
+
+    # -- map rendering (updateMap, :630-654) --------------------------------
+    def get_occupancy_grid(self, resolution: Optional[float] = None):
+        scans = self.mapper.all_processed_scans()
+        return occupancy.create_from_scans(
+            scans,
+            resolution or self.config.map_resolution,
+            self.config.min_pass_through,
+            self.config.occupancy_threshold,
+        )
+
+    # -- services -----------------------------------------------------------
+    def serialize(self, path: str) -> None:
+        from slam_toolbox_tpu.io.serialization import save_snapshot
+
+        save_snapshot(self.mapper, path)
+
+    def deserialize(
+        self,
+        path: str,
+        match_type: MatchType = MatchType.UNSET,
+        initial_pose: Optional[np.ndarray] = None,
+    ) -> None:
+        """deserializePoseGraphCallback (slam_toolbox_common.cpp:1020-1079)."""
+        from slam_toolbox_tpu.io.serialization import load_snapshot
+
+        load_snapshot(path, self.mapper)
+        scans = self.mapper.all_processed_scans()
+        if scans:
+            self.laser = scans[0].laser
+        self.mapper.solver.compute()
+        if match_type == MatchType.START_AT_FIRST_NODE:
+            self.processor_type = ProcessType.PROCESS_FIRST_NODE
+        elif match_type == MatchType.START_AT_GIVEN_POSE:
+            self.processor_type = ProcessType.PROCESS_NEAR_REGION
+            self.process_near_pose = np.asarray(initial_pose, np.float64)
+        elif match_type == MatchType.LOCALIZE_AT_POSE:
+            self.mode = "localization"
+            self.processor_type = ProcessType.PROCESS_NEAR_REGION
+            self.process_near_pose = np.asarray(initial_pose, np.float64)
+
+    def set_initial_pose(self, pose) -> None:
+        """/initialpose (localizePoseCallback,
+        slam_toolbox_localization.cpp:240-270)."""
+        self.process_near_pose = np.asarray(pose, np.float64)
+        self.processor_type = ProcessType.PROCESS_NEAR_REGION
+        self.first_measurement = True
+
+    def clear_localization_buffer(self) -> None:
+        self.mapper.clear_localization_buffer()
+
+    def pause(self) -> bool:
+        self.paused = not self.paused
+        return self.paused
+
+    def reset(self) -> None:
+        self.mapper.reset()
+        self.scan_count = 0
+        self.first_measurement = True
+        self.map_to_odom = np.zeros(3)
+        self.last_scan_odom = None
+        self.last_scan_time = -np.inf
+
+    # -- graph access for visualization / manual closure --------------------
+    def get_graph(self):
+        return self.mapper.solver.get_graph()
+
+    def modify_node(self, unique_id: int, pose) -> None:
+        self.mapper.solver.modify_node(unique_id, pose)
+
+    def manual_loop_closure(self, moved_nodes) -> None:
+        """loop_closure_assistant.cpp:276-319: apply manual node moves then
+        re-optimize and write back."""
+        for uid, pose in moved_nodes:
+            self.mapper.solver.modify_node(uid, pose)
+        self.mapper.graph.correct_poses()
+
+    @property
+    def trajectory(self) -> np.ndarray:
+        scans = self.mapper.all_processed_scans()
+        if not scans:
+            return np.zeros((0, 3))
+        return np.stack([s.corrected_pose for s in scans])

@@ -1,0 +1,118 @@
+"""Typed configuration collapsing the reference's three parameter tiers
+(ROS params, Karto Parameter<T> registry, YAML files) into one dataclass.
+
+Defaults follow Mapper::InitializeParameters
+(/root/reference/lib/karto_sdk/src/Mapper.cpp:2088-2294) and the solver
+defaults in /root/reference/solvers/ceres_solver.cpp:25-193.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from dataclasses import dataclass, field
+
+
+def _deg(d: float) -> float:
+    return d * math.pi / 180.0
+
+
+@dataclass(frozen=True)
+class SolverConfig:
+    """Pose-graph optimizer settings (ceres_solver.cpp:25-193 analog)."""
+
+    max_iterations: int = 50          # LM outer iterations cap
+    function_tolerance: float = 1e-3  # ceres_solver.cpp:157
+    gradient_tolerance: float = 1e-6  # ceres_solver.cpp:158
+    parameter_tolerance: float = 1e-3  # ceres_solver.cpp:159
+    cg_max_iterations: int = 200      # inner PCG cap (TPU-native choice)
+    cg_tolerance: float = 1e-8
+    initial_lm_lambda: float = 1e-4
+    use_double: bool = True           # solve in f64 on host-backed path
+
+
+@dataclass(frozen=True)
+class MapperConfig:
+    """All Mapper tunables with reference defaults (Mapper.cpp:2088-2294)."""
+
+    # General (Mapper.cpp:2090-2204)
+    use_scan_matching: bool = True
+    use_scan_barycenter: bool = True
+    minimum_time_interval: float = 3600.0
+    minimum_travel_distance: float = 0.2
+    minimum_travel_heading: float = _deg(10.0)
+    scan_buffer_size: int = 70
+    scan_buffer_maximum_scan_distance: float = 20.0
+    link_match_minimum_response_fine: float = 0.8
+    link_scan_maximum_distance: float = 10.0
+    loop_search_maximum_distance: float = 4.0
+    do_loop_closing: bool = True
+    loop_match_minimum_chain_size: int = 10
+    loop_match_maximum_variance_coarse: float = 0.4 ** 2
+    loop_match_minimum_response_coarse: float = 0.8
+    loop_match_minimum_response_fine: float = 0.8
+
+    # Sequential correlation grid (Mapper.cpp:2209-2225)
+    correlation_search_space_dimension: float = 0.3
+    correlation_search_space_resolution: float = 0.01
+    correlation_search_space_smear_deviation: float = 0.03
+
+    # Loop correlation grid (Mapper.cpp:2231-2245)
+    loop_search_space_dimension: float = 8.0
+    loop_search_space_resolution: float = 0.05
+    loop_search_space_smear_deviation: float = 0.03
+
+    # Scan matcher penalties / angular search (Mapper.cpp:2250-2293)
+    distance_variance_penalty: float = 0.3 ** 2
+    angle_variance_penalty: float = _deg(20.0) ** 2
+    fine_search_angle_offset: float = _deg(0.2)
+    coarse_search_angle_offset: float = _deg(20.0)
+    coarse_angle_resolution: float = _deg(2.0)
+    minimum_angle_penalty: float = 0.9
+    minimum_distance_penalty: float = 0.5
+    use_response_expansion: bool = False
+
+    # Occupancy rendering (Karto.h:5920-5921)
+    min_pass_through: int = 2
+    occupancy_threshold: float = 0.1
+    map_resolution: float = 0.05
+
+    solver: SolverConfig = field(default_factory=SolverConfig)
+
+    def replace(self, **kwargs) -> "MapperConfig":
+        return dataclasses.replace(self, **kwargs)
+
+
+# Canonical per-mode presets mirroring config/mapper_params_*.yaml
+ONLINE_SYNC = MapperConfig(
+    minimum_time_interval=0.5,
+    minimum_travel_distance=0.5,
+    minimum_travel_heading=0.5,
+    scan_buffer_size=10,
+    scan_buffer_maximum_scan_distance=10.0,
+    loop_search_maximum_distance=3.0,
+    loop_match_minimum_chain_size=10,
+    loop_match_maximum_variance_coarse=3.0,
+    loop_match_minimum_response_coarse=0.35,
+    loop_match_minimum_response_fine=0.45,
+    link_match_minimum_response_fine=0.1,
+    link_scan_maximum_distance=1.5,
+    correlation_search_space_dimension=0.5,
+    correlation_search_space_resolution=0.01,
+    correlation_search_space_smear_deviation=0.1,
+    loop_search_space_dimension=8.0,
+    loop_search_space_resolution=0.05,
+    loop_search_space_smear_deviation=0.03,
+    distance_variance_penalty=0.5,
+    angle_variance_penalty=1.0,
+    fine_search_angle_offset=0.00349,
+    coarse_search_angle_offset=0.349,
+    coarse_angle_resolution=0.0349,
+    minimum_angle_penalty=0.9,
+    minimum_distance_penalty=0.5,
+    use_response_expansion=True,
+)
+
+LOCALIZATION = ONLINE_SYNC.replace(
+    scan_buffer_size=10,
+    minimum_travel_distance=0.5,
+)

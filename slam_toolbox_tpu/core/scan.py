@@ -1,0 +1,178 @@
+"""Sensor model and scan record.
+
+Re-expression of LaserRangeFinder (Karto.h:3874-4369) and LocalizedRangeScan
+(Karto.h:5411-5763) as array-first records: a scan is a fixed-width vector of
+ranges plus poses; derived world points / barycenter / bounding box are
+computed on demand (the reference's dirty-flag Update(), Karto.h:5644-5704).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+
+from slam_toolbox_tpu.core import geometry
+
+
+@dataclass(frozen=True)
+class LaserConfig:
+    """Laser intrinsics/extrinsics (LaserRangeFinder, Karto.h:3874-4369)."""
+
+    name: str = "laser0"
+    min_range: float = 0.0
+    max_range: float = 20.0
+    range_threshold: float = 12.0  # readings beyond are truncated for mapping
+    min_angle: float = -np.pi
+    max_angle: float = np.pi
+    angular_resolution: float = 2.0 * np.pi / 360.0
+    offset_pose: tuple = (0.0, 0.0, 0.0)  # sensor extrinsics in robot frame
+    is_360: bool = True
+
+    @property
+    def n_beams(self) -> int:
+        # beam-count calc per LaserRangeFinder::Update (Karto.h:4299-4310)
+        return int(
+            round((self.max_angle - self.min_angle) / self.angular_resolution)
+        ) + 1
+
+    @property
+    def beam_angles(self) -> np.ndarray:
+        """Beam angles in the sensor frame, (B,)."""
+        return self.min_angle + self.angular_resolution * np.arange(
+            self.n_beams, dtype=np.float64
+        )
+
+    def validate(self, ranges: np.ndarray) -> bool:
+        """Scan must carry the expected beam count (Karto.cpp:209-221)."""
+        return ranges.shape[-1] == self.n_beams
+
+
+class LocalizedScan:
+    """A lidar scan with odometric and corrected robot poses.
+
+    Mirrors LocalizedRangeScan (Karto.h:5411-5763): `corrected_pose` is moved
+    by the mapper/solver; world points, barycenter, and bounding box derive
+    from the corrected sensor pose and are invalidated when it changes.
+    """
+
+    __slots__ = (
+        "laser", "ranges", "odom_pose", "corrected_pose", "time",
+        "state_id", "unique_id", "_points", "_valid", "_barycenter", "_bbox",
+        "_fvp",
+    )
+
+    def __init__(self, laser: LaserConfig, ranges, odom_pose, time: float = 0.0):
+        self.laser = laser
+        self.ranges = np.asarray(ranges, dtype=np.float64)
+        self.odom_pose = np.asarray(odom_pose, dtype=np.float64)
+        self.corrected_pose = np.array(self.odom_pose)
+        self.time = float(time)
+        self.state_id = -1
+        self.unique_id = -1
+        self._points = None
+        self._valid = None
+        self._barycenter = None
+        self._bbox = None
+        self._fvp = None
+
+    # -- pose accessors (Karto.h:5536-5596) --------------------------------
+    @property
+    def sensor_pose(self) -> np.ndarray:
+        return np.asarray(
+            geometry.sensor_at(self.corrected_pose, np.array(self.laser.offset_pose))
+        )
+
+    def set_sensor_pose(self, sensor_pose) -> None:
+        """Set corrected robot pose from a sensor pose (Karto.h:5551-5558)."""
+        self.corrected_pose = np.asarray(
+            geometry.corrected_at(
+                np.asarray(sensor_pose, dtype=np.float64),
+                np.array(self.laser.offset_pose),
+            )
+        )
+        self._invalidate()
+
+    def set_corrected_pose(self, pose) -> None:
+        self.corrected_pose = np.asarray(pose, dtype=np.float64)
+        self._invalidate()
+
+    def sensor_at(self, robot_pose) -> np.ndarray:
+        return np.asarray(
+            geometry.sensor_at(np.asarray(robot_pose), np.array(self.laser.offset_pose))
+        )
+
+    def reference_pose(self, use_barycenter: bool) -> np.ndarray:
+        return self.barycenter if use_barycenter else self.sensor_pose
+
+    def _invalidate(self) -> None:
+        self._points = None
+        self._barycenter = None
+        self._bbox = None
+        self._fvp = None
+
+    # -- derived quantities (the reference's Update(), Karto.h:5644-5704) --
+    @property
+    def local_points(self) -> np.ndarray:
+        """(B, 2) beam endpoints in the sensor frame; NaN ranges give NaN."""
+        a = self.laser.beam_angles
+        return np.stack(
+            [self.ranges * np.cos(a), self.ranges * np.sin(a)], axis=-1
+        )
+
+    @property
+    def finite_mask(self) -> np.ndarray:
+        return np.isfinite(self.ranges)
+
+    @property
+    def filtered_mask(self) -> np.ndarray:
+        """Beams inside [min_range, range_threshold] (Karto.h:5660)."""
+        return (
+            np.isfinite(self.ranges)
+            & (self.ranges >= self.laser.min_range)
+            & (self.ranges <= self.laser.range_threshold)
+        )
+
+    def points_world(self, filtered: bool = False) -> np.ndarray:
+        """(B, 2) world beam endpoints from the corrected sensor pose.
+
+        filtered=False matches GetPointReadings(false): *all* beams project
+        (out-of-threshold beams land at their true range) — the matcher
+        consumes this unfiltered set (Mapper.cpp:1117, Karto.h:6812).
+        """
+        if self._points is None:
+            sp = self.sensor_pose
+            c, s = np.cos(sp[2]), np.sin(sp[2])
+            lp = self.local_points
+            self._points = np.stack(
+                [
+                    sp[0] + c * lp[:, 0] - s * lp[:, 1],
+                    sp[1] + s * lp[:, 0] + c * lp[:, 1],
+                ],
+                axis=-1,
+            )
+        if filtered:
+            return self._points[self.filtered_mask]
+        return self._points
+
+    @property
+    def barycenter(self) -> np.ndarray:
+        """Mean of filtered world points as a heading-0 pose (Karto.h:5687)."""
+        if self._barycenter is None:
+            pts = self.points_world(filtered=True)
+            if len(pts) > 0:
+                self._barycenter = np.array([pts[:, 0].mean(), pts[:, 1].mean(), 0.0])
+            else:
+                self._barycenter = np.array(self.sensor_pose)
+        return self._barycenter
+
+    @property
+    def bounding_box(self) -> np.ndarray:
+        """[[minx, miny], [maxx, maxy]] over sensor position + filtered points
+        (Karto.h:5694-5700)."""
+        if self._bbox is None:
+            sp = self.sensor_pose[:2]
+            pts = self.points_world(filtered=True)
+            allp = np.concatenate([sp[None, :], pts], axis=0)
+            self._bbox = np.stack([allp.min(axis=0), allp.max(axis=0)])
+        return self._bbox

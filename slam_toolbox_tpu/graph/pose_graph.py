@@ -1,0 +1,413 @@
+"""Pose-graph substrate + SLAM graph logic.
+
+Re-expression of Graph<T>/MapperGraph (Mapper.h:113-945,
+Mapper.cpp:1394-2030). Graph bookkeeping is host-side (tiny vs the kernels);
+distance queries are brute-force vectorized NumPy instead of a per-query
+nanoflann KD-tree rebuild (Mapper.cpp:1837-1912) — at N <= 1e5 2-D vertices
+a masked argmin over a coordinate array is faster than rebuilding a tree.
+"""
+from __future__ import annotations
+
+from collections import deque
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from slam_toolbox_tpu.core import geometry
+
+
+class Edge:
+    """Graph edge with LinkInfo label (Mapper.h:174-188): relative pose of
+    target in the source frame plus covariance rotated into that frame."""
+
+    __slots__ = ("source", "target", "rel_pose", "covariance")
+
+    def __init__(self, source, target, mean_sensor_pose, covariance):
+        self.source = source
+        self.target = target
+        pose1 = source.corrected_pose
+        # robot pose of the target if its sensor were at the match mean
+        pose2 = np.asarray(
+            geometry.corrected_at(
+                np.asarray(mean_sensor_pose, dtype=np.float64),
+                np.array(target.laser.offset_pose),
+            )
+        )
+        self.rel_pose = np.asarray(geometry.relative_pose(pose1, pose2))
+        self.covariance = np.asarray(
+            geometry.rotate_covariance(
+                np.asarray(covariance, dtype=np.float64), -pose1[2]
+            )
+        )
+
+
+class PoseGraph:
+    """Vertices are LocalizedScan objects keyed (sensor_name, state_id);
+    adjacency tracked by scan unique_id."""
+
+    def __init__(self, mapper):
+        self.mapper = mapper  # for params, sensor manager, solver
+        self.vertices: Dict[str, Dict[int, object]] = {}
+        self.edges: List[Edge] = []
+        self.adjacency: Dict[int, List[Edge]] = {}
+
+    # -- vertex / edge primitives ------------------------------------------
+    def add_vertex(self, scan) -> None:
+        """AddVertex + solver AddNode (Mapper.cpp:1418-1432)."""
+        self.vertices.setdefault(scan.laser.name, {})[scan.state_id] = scan
+        self.adjacency.setdefault(scan.unique_id, [])
+        if self.mapper.solver is not None:
+            self.mapper.solver.add_node(scan.unique_id, scan.corrected_pose)
+
+    def _find_edge(self, source, target) -> Optional[Edge]:
+        for e in self.adjacency.get(source.unique_id, []):
+            if e.target is target and e.source is source:
+                return e
+        return None
+
+    def link_scans(self, from_scan, to_scan, mean_sensor_pose, covariance):
+        """LinkScans (Mapper.cpp:1619-1637): add edge + solver constraint
+        only if the edge is new."""
+        if from_scan is None or to_scan is None:
+            return
+        if self._find_edge(from_scan, to_scan) is not None:
+            return
+        e = Edge(from_scan, to_scan, mean_sensor_pose, covariance)
+        self.edges.append(e)
+        self.adjacency.setdefault(from_scan.unique_id, []).append(e)
+        self.adjacency.setdefault(to_scan.unique_id, []).append(e)
+        if self.mapper.solver is not None:
+            self.mapper.solver.add_constraint(
+                from_scan.unique_id, to_scan.unique_id,
+                e.rel_pose, e.covariance,
+            )
+
+    def remove_vertex(self, scan) -> bool:
+        """RemoveNodeFromGraph (Mapper.cpp:2964-3021): drop incident edges
+        from graph + solver, then the vertex itself."""
+        uid = scan.unique_id
+        incident = list(self.adjacency.get(uid, []))
+        for e in incident:
+            other = e.target if e.source is scan else e.source
+            if e in self.adjacency.get(other.unique_id, []):
+                self.adjacency[other.unique_id].remove(e)
+            if e in self.edges:
+                self.edges.remove(e)
+            if self.mapper.solver is not None:
+                self.mapper.solver.remove_constraint(
+                    e.source.unique_id, e.target.unique_id
+                )
+        self.adjacency.pop(uid, None)
+        if self.mapper.solver is not None:
+            self.mapper.solver.remove_node(uid)
+        sensor_map = self.vertices.get(scan.laser.name, {})
+        if scan.state_id in sensor_map:
+            del sensor_map[scan.state_id]
+            return True
+        return False
+
+    # -- queries ------------------------------------------------------------
+    def adjacent_scans(self, scan):
+        out = []
+        for e in self.adjacency.get(scan.unique_id, []):
+            out.append(e.target if e.source is scan else e.source)
+        return out
+
+    def find_near_linked_scans(self, scan, max_distance: float):
+        """Distance-bounded BFS over graph links
+        (FindNearLinkedScans + NearScanVisitor, Mapper.cpp:1311-1348,
+        1795-1806). The start vertex is always visited first; expansion
+        continues only through vertices passing the distance predicate."""
+        use_bc = self.mapper.config.use_scan_barycenter
+        center = scan.reference_pose(use_bc)[:2]
+        max_sq = max_distance * max_distance - 1e-6  # KT_TOLERANCE slack
+        seen = {scan.unique_id}
+        out = []
+        q = deque([scan])
+        while q:
+            s = q.popleft()
+            p = s.reference_pose(use_bc)[:2]
+            d = p - center
+            if d[0] * d[0] + d[1] * d[1] <= max_sq:
+                out.append(s)
+                for nb in self.adjacent_scans(s):
+                    if nb.unique_id not in seen:
+                        seen.add(nb.unique_id)
+                        q.append(nb)
+        return out
+
+    def _vertex_list(self, sensor_name: str):
+        return [
+            s for _, s in sorted(self.vertices.get(sensor_name, {}).items())
+        ]
+
+    def find_nearby_vertices(self, sensor_name, ref_pose, max_distance):
+        """Radius search over vertex poses (FindNearByVertices,
+        Mapper.cpp:1837-1875). Brute-force vectorized; note the reference
+        passes the *squared* radius to nanoflann radiusSearch, so parity
+        means treating max_distance as squared there — we use the literal
+        Euclidean radius (documented deviation; the reference behavior is a
+        known quirk)."""
+        scans = self._vertex_list(sensor_name)
+        if not scans:
+            return []
+        pts = np.stack([s.corrected_pose[:2] for s in scans])
+        d2 = np.sum((pts - np.asarray(ref_pose[:2])) ** 2, axis=1)
+        keep = d2 <= max_distance * max_distance
+        return [s for s, k in zip(scans, keep) if k]
+
+    def find_nearby_scan(self, sensor_name, ref_pose):
+        """Nearest vertex by corrected pose (FindNearByScan,
+        Mapper.cpp:1877-1912)."""
+        scans = self._vertex_list(sensor_name)
+        if not scans:
+            return None
+        pts = np.stack([s.corrected_pose[:2] for s in scans])
+        d2 = np.sum((pts - np.asarray(ref_pose[:2])) ** 2, axis=1)
+        return scans[int(np.argmin(d2))]
+
+    # -- SLAM graph logic (MapperGraph, Mapper.cpp:1434-2030) ---------------
+    def add_edges(self, scan, covariance) -> None:
+        """AddEdges (Mapper.cpp:1434-1498): link to the previous scan, the
+        running-scan chain, and near chains; fuse the resulting means into
+        the scan's sensor pose."""
+        cfg = self.mapper.config
+        sm = self.mapper.sensor_manager
+        name = scan.laser.name
+
+        means, covariances = [], []
+        last = sm.get_last_scan(name)
+        if last is not None:
+            prev = sm.get_scan(name, scan.state_id - 1)
+            if prev is None:
+                return
+            self.link_scans(prev, scan, scan.sensor_pose, covariance)
+            # link to running scans chain
+            scan_pose = scan.sensor_pose
+            means.append(np.asarray(scan_pose))
+            covariances.append(np.asarray(covariance))
+            self.link_chain_to_scan(
+                list(sm.get_running_scans(name)), scan, scan_pose, covariance
+            )
+        else:
+            # first scan of this sensor: link to other sensors' first scans
+            # (multi-robot mapping, Mapper.cpp:1454-1483)
+            for other in sm.sensor_names():
+                if other == name or not sm.get_scans(other):
+                    continue
+                res = self.mapper.sequential_matcher.match_scan(
+                    scan, list(sm.get_scans(other).values())
+                )
+                self.link_scans(
+                    sm.get_scan(other, 0), scan, res.sensor_pose,
+                    res.covariance,
+                )
+                if res.response > cfg.link_match_minimum_response_fine:
+                    means.append(res.sensor_pose)
+                    covariances.append(res.covariance)
+
+        self.link_near_chains(scan, means, covariances)
+
+        if means:
+            fused = np.asarray(
+                geometry.weighted_mean_pose(
+                    np.stack(means), np.stack(covariances)
+                )
+            )
+            scan.set_sensor_pose(fused)
+
+    def link_near_chains(self, scan, means, covariances) -> None:
+        """LinkNearChains (Mapper.cpp:1639-1661): match against each near
+        chain; accept links above the fine response threshold."""
+        cfg = self.mapper.config
+        for chain in self.find_near_chains(scan):
+            if len(chain) < cfg.loop_match_minimum_chain_size:
+                continue
+            res = self.mapper.sequential_matcher.match_scan(scan, chain)
+            if res.response > cfg.link_match_minimum_response_fine - 1e-6:
+                means.append(res.sensor_pose)
+                covariances.append(res.covariance)
+                self.link_chain_to_scan(
+                    chain, scan, res.sensor_pose, res.covariance
+                )
+
+    def get_closest_scan_to_pose(self, scans, pose):
+        """GetClosestScanToPose (Mapper.cpp:1563-1582)."""
+        use_bc = self.mapper.config.use_scan_barycenter
+        best, best_sq = None, np.inf
+        p = np.asarray(pose[:2])
+        for s in scans:
+            sp = s.reference_pose(use_bc)[:2]
+            d = p - sp
+            sq = d[0] * d[0] + d[1] * d[1]
+            if sq < best_sq:
+                best_sq, best = sq, s
+        return best
+
+    def link_chain_to_scan(self, chain, scan, mean, covariance) -> None:
+        """LinkChainToScan (Mapper.cpp:1663-1681)."""
+        cfg = self.mapper.config
+        use_bc = cfg.use_scan_barycenter
+        pose = scan.reference_pose(use_bc)
+        closest = self.get_closest_scan_to_pose(chain, pose)
+        if closest is None:
+            return
+        cp = closest.reference_pose(use_bc)[:2]
+        d = pose[:2] - cp
+        if d[0] * d[0] + d[1] * d[1] < (
+            cfg.link_scan_maximum_distance**2 + 1e-6
+        ):
+            self.link_scans(closest, scan, mean, covariance)
+
+    def find_near_chains(self, scan):
+        """FindNearChains (Mapper.cpp:1683-1793): for each near linked scan,
+        walk state ids outward while within link range; chains containing
+        the query scan are invalid."""
+        cfg = self.mapper.config
+        sm = self.mapper.sensor_manager
+        use_bc = cfg.use_scan_barycenter
+        scan_pose = scan.reference_pose(use_bc)[:2]
+        max_sq = cfg.link_scan_maximum_distance**2 + 1e-6
+
+        chains = []
+        processed = set()
+        for near in self.find_near_linked_scans(
+            scan, cfg.link_scan_maximum_distance
+        ):
+            if near is scan or near.unique_id in processed:
+                continue
+            processed.add(near.unique_id)
+            is_valid = True
+            chain = []
+            # before
+            for sid in range(near.state_id - 1, -1, -1):
+                cand = sm.get_scan(near.laser.name, sid)
+                if cand is scan:
+                    is_valid = False
+                if cand is None:
+                    continue
+                cp = cand.reference_pose(use_bc)[:2]
+                d = scan_pose - cp
+                if d[0] * d[0] + d[1] * d[1] < max_sq:
+                    chain.insert(0, cand)
+                    processed.add(cand.unique_id)
+                else:
+                    break
+            chain.append(near)
+            # after
+            mgr = sm._mgr(near.laser.name)
+            for sid in range(near.state_id + 1, mgr.next_state_id):
+                cand = sm.get_scan(near.laser.name, sid)
+                if cand is scan:
+                    is_valid = False
+                if cand is None:
+                    continue
+                cp = cand.reference_pose(use_bc)[:2]
+                d = scan_pose - cp
+                if d[0] * d[0] + d[1] * d[1] < max_sq:
+                    chain.append(cand)
+                    processed.add(cand.unique_id)
+                else:
+                    break
+            if is_valid:
+                chains.append(chain)
+        return chains
+
+    def find_possible_loop_closure(self, scan, sensor_name, start_id: int):
+        """FindPossibleLoopClosure (Mapper.cpp:1960-2010): sweep state ids
+        collecting candidates within loop search distance that are NOT
+        graph-connected to the scan; emit the chain once it leaves range if
+        long enough. Returns (chain, next_start_id)."""
+        cfg = self.mapper.config
+        sm = self.mapper.sensor_manager
+        use_bc = cfg.use_scan_barycenter
+        pose = scan.reference_pose(use_bc)[:2]
+        max_sq = cfg.loop_search_maximum_distance**2 + 1e-6
+
+        near_linked = {
+            s.unique_id
+            for s in self.find_near_linked_scans(
+                scan, cfg.loop_search_maximum_distance
+            )
+        }
+
+        chain = []
+        mgr = sm._mgr(sensor_name)
+        sid = start_id
+        while sid < mgr.next_state_id:
+            cand = sm.get_scan(sensor_name, sid)
+            sid += 1
+            if cand is None:
+                continue
+            cp = cand.reference_pose(use_bc)[:2]
+            d = pose - cp
+            if d[0] * d[0] + d[1] * d[1] < max_sq:
+                if cand.unique_id in near_linked:
+                    chain = []
+                else:
+                    chain.append(cand)
+            else:
+                if len(chain) >= cfg.loop_match_minimum_chain_size:
+                    return chain, sid
+                chain = []
+        return chain, sid
+
+    def try_close_loop(self, scan, sensor_name) -> bool:
+        """TryCloseLoop (Mapper.cpp:1500-1561): coarse match against each
+        candidate chain, gate on response/variance, verify with a fine
+        match, then link and optimize."""
+        cfg = self.mapper.config
+        closed = False
+        start_id = 0
+        chain, start_id = self.find_possible_loop_closure(
+            scan, sensor_name, start_id
+        )
+        while chain:
+            coarse = self.mapper.loop_matcher.match_scan(
+                scan, chain, penalize=False, refine=False
+            )
+            if (
+                coarse.response > cfg.loop_match_minimum_response_coarse
+                and coarse.covariance[0, 0]
+                < cfg.loop_match_maximum_variance_coarse
+                and coarse.covariance[1, 1]
+                < cfg.loop_match_maximum_variance_coarse
+            ):
+                # fine verification on a temporary copy seeded at the
+                # coarse pose (Mapper.cpp:1527-1535)
+                from slam_toolbox_tpu.core.scan import LocalizedScan
+
+                tmp = LocalizedScan(
+                    scan.laser, scan.ranges, scan.odom_pose, scan.time
+                )
+                tmp.state_id = scan.state_id
+                tmp.unique_id = scan.unique_id
+                tmp.set_corrected_pose(scan.corrected_pose)
+                tmp.set_sensor_pose(coarse.sensor_pose)
+                fine = self.mapper.sequential_matcher.match_scan(
+                    tmp, chain, penalize=False
+                )
+                if fine.response >= cfg.loop_match_minimum_response_fine:
+                    self.mapper.fire_loop_closure("Closing loop...")
+                    scan.set_sensor_pose(fine.sensor_pose)
+                    self.link_chain_to_scan(
+                        chain, scan, fine.sensor_pose, fine.covariance
+                    )
+                    self.correct_poses()
+                    closed = True
+            chain, start_id = self.find_possible_loop_closure(
+                scan, sensor_name, start_id
+            )
+        return closed
+
+    def correct_poses(self) -> None:
+        """CorrectPoses (Mapper.cpp:2012-2030): solver Compute + write
+        corrected poses back into the scans."""
+        solver = self.mapper.solver
+        if solver is None:
+            return
+        for uid, pose in solver.compute():
+            s = self.mapper.sensor_manager.get_scan_by_unique_id(uid)
+            if s is not None:
+                s.set_corrected_pose(pose)
+        solver.clear()

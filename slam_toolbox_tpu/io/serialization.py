@@ -1,0 +1,176 @@
+"""Snapshot serialization: lossless save/continue/localize.
+
+Functional replacement for the boost binary archives
+(Mapper::SaveToFile/LoadFromFile, Mapper.cpp:2635-2651; ROS shim
+serialization.hpp:39-82). Format compatibility with boost archives is a
+non-goal (SURVEY.md §7.3); the snapshot is a single .npz of arrays + a JSON
+config blob, which arrays straight back into device memory on resume. As in
+the reference's deserialize path, the solver is rebuilt by re-feeding every
+vertex and edge (slam_toolbox_common.cpp:952-1017).
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Optional
+
+import numpy as np
+
+from slam_toolbox_tpu.core.params import MapperConfig, SolverConfig
+from slam_toolbox_tpu.core.scan import LaserConfig, LocalizedScan
+
+
+def save_snapshot(mapper, path: str) -> None:
+    sm = mapper.sensor_manager
+    scans = mapper.all_processed_scans()
+    n = len(scans)
+    B = max((s.laser.n_beams for s in scans), default=0)
+
+    ranges = np.full((n, B), np.nan)
+    odom = np.zeros((n, 3))
+    corrected = np.zeros((n, 3))
+    times = np.zeros(n)
+    state_ids = np.zeros(n, np.int64)
+    unique_ids = np.zeros(n, np.int64)
+    sensor_idx = np.zeros(n, np.int64)
+
+    sensors = sorted({s.laser.name for s in scans})
+    sensor_of = {name: i for i, name in enumerate(sensors)}
+    lasers = {}
+    for s in scans:
+        lasers[s.laser.name] = dataclasses.asdict(s.laser)
+
+    for i, s in enumerate(scans):
+        ranges[i, : len(s.ranges)] = s.ranges
+        odom[i] = s.odom_pose
+        corrected[i] = s.corrected_pose
+        times[i] = s.time
+        state_ids[i] = s.state_id
+        unique_ids[i] = s.unique_id
+        sensor_idx[i] = sensor_of[s.laser.name]
+
+    g = mapper.graph
+    e = len(g.edges) if g else 0
+    e_src = np.zeros(e, np.int64)
+    e_dst = np.zeros(e, np.int64)
+    e_rel = np.zeros((e, 3))
+    e_cov = np.zeros((e, 3, 3))
+    if g:
+        for k, edge in enumerate(g.edges):
+            e_src[k] = edge.source.unique_id
+            e_dst[k] = edge.target.unique_id
+            e_rel[k] = edge.rel_pose
+            e_cov[k] = edge.covariance
+
+    running = {
+        name: np.array(
+            [s.state_id for s in sm.get_running_scans(name)], np.int64
+        )
+        for name in sm.sensor_names()
+    }
+    last = {
+        name: (
+            sm.get_last_scan(name).state_id
+            if sm.get_last_scan(name) is not None
+            else -1
+        )
+        for name in sm.sensor_names()
+    }
+
+    meta = {
+        "config": dataclasses.asdict(mapper.config),
+        "lasers": lasers,
+        "sensors": sensors,
+        "running": {k: v.tolist() for k, v in running.items()},
+        "last": last,
+        "next_unique_id": sm.next_unique_id,
+        "next_state_ids": {
+            name: sm._mgr(name).next_state_id for name in sm.sensor_names()
+        },
+        "range_threshold": mapper.range_threshold,
+        "version": 1,
+    }
+    np.savez_compressed(
+        path,
+        meta=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8),
+        ranges=ranges, odom=odom, corrected=corrected, times=times,
+        state_ids=state_ids, unique_ids=unique_ids, sensor_idx=sensor_idx,
+        e_src=e_src, e_dst=e_dst, e_rel=e_rel, e_cov=e_cov,
+    )
+
+
+def load_snapshot(path: str, mapper=None):
+    """Rebuild a Mapper from a snapshot; returns the mapper."""
+    from slam_toolbox_tpu.mapper import Mapper
+
+    z = np.load(path, allow_pickle=False)
+    meta = json.loads(bytes(z["meta"]).decode())
+
+    cfg_d = dict(meta["config"])
+    solver_cfg = SolverConfig(**cfg_d.pop("solver"))
+    config = MapperConfig(**cfg_d, solver=solver_cfg)
+    if mapper is None:
+        mapper = Mapper(config)
+    else:
+        mapper.reset()
+        mapper.config = config
+    mapper.initialize(meta["range_threshold"])
+
+    lasers = {
+        name: LaserConfig(
+            **{k: (tuple(v) if k == "offset_pose" else v)
+               for k, v in d.items()}
+        )
+        for name, d in meta["lasers"].items()
+    }
+
+    sm = mapper.sensor_manager
+    scans_by_uid = {}
+    order = np.argsort(z["unique_ids"])
+    for i in order:
+        name = meta["sensors"][int(z["sensor_idx"][i])]
+        laser = lasers[name]
+        r = z["ranges"][i][: laser.n_beams]
+        s = LocalizedScan(laser, r, z["odom"][i], time=float(z["times"][i]))
+        s.set_corrected_pose(z["corrected"][i])
+        s.state_id = int(z["state_ids"][i])
+        s.unique_id = int(z["unique_ids"][i])
+        mgr = sm._mgr(name)
+        mgr.scans[s.state_id] = s
+        sm.by_unique_id[s.unique_id] = s
+        scans_by_uid[s.unique_id] = s
+        mapper.graph.add_vertex(s)
+
+    for name, nid in meta["next_state_ids"].items():
+        sm._mgr(name).next_state_id = int(nid)
+    sm.next_unique_id = int(meta["next_unique_id"])
+
+    # re-feed edges into graph + solver, using stored rel/cov directly
+    from slam_toolbox_tpu.graph.pose_graph import Edge
+
+    for k in range(len(z["e_src"])):
+        src = scans_by_uid.get(int(z["e_src"][k]))
+        dst = scans_by_uid.get(int(z["e_dst"][k]))
+        if src is None or dst is None:
+            continue
+        e = Edge.__new__(Edge)
+        e.source, e.target = src, dst
+        e.rel_pose = z["e_rel"][k].copy()
+        e.covariance = z["e_cov"][k].copy()
+        mapper.graph.edges.append(e)
+        mapper.graph.adjacency.setdefault(src.unique_id, []).append(e)
+        mapper.graph.adjacency.setdefault(dst.unique_id, []).append(e)
+        mapper.solver.add_constraint(
+            src.unique_id, dst.unique_id, e.rel_pose, e.covariance
+        )
+
+    for name, sids in meta["running"].items():
+        mgr = sm._mgr(name)
+        mgr.running_scans = [
+            mgr.scans[sid] for sid in sids if sid in mgr.scans
+        ]
+    for name, sid in meta["last"].items():
+        if sid >= 0 and sid in sm._mgr(name).scans:
+            sm._mgr(name).last_scan = sm._mgr(name).scans[sid]
+
+    return mapper

@@ -1,0 +1,260 @@
+"""Occupancy-grid rendering: batched ray tracing as one scatter-add pass.
+
+TPU-native re-design of karto::OccupancyGrid (Karto.h:5893-6323). The
+reference walks Bresenham per beam (TraceLine, Karto.h:4874-4927) updating
+pass/hit counters, then thresholds cells (UpdateCell, Karto.h:6242-6253).
+Here every beam's Bresenham cell sequence is expressed in closed form
+(minor(k) = floor((2*k*dY + dX) / (2*dX)) along the major axis, identical
+cells to the reference's integer error accumulator) so all beams trace in a
+single (N_beams, K) index computation + scatter-add. Beam selection and the
+range-threshold endpoint clamp follow AddScan (Karto.h:6146-6189).
+
+Grid states: 0 unknown, 100 occupied, 255 free (Karto.h:4379-4382).
+"""
+from __future__ import annotations
+
+import functools
+from typing import List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from slam_toolbox_tpu.kernels.rasterize import round_half_away
+
+UNKNOWN, OCCUPIED, FREE = 0, 100, 255
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height", "max_steps"))
+def trace_beams(
+    pass_cnt,     # (H, W) int32
+    hit_cnt,      # (H, W) int32
+    start_cells,  # (N, 2) int32 sensor cell (x, y) per beam
+    end_cells,    # (N, 2) int32 endpoint cell (x, y)
+    beam_valid,   # (N,) bool — beam participates at all
+    end_valid,    # (N,) bool — endpoint is a hit (range < threshold)
+    width: int, height: int, max_steps: int,
+):
+    """Accumulate Bresenham pass counts and endpoint hits for all beams."""
+    x0, y0 = start_cells[:, 0], start_cells[:, 1]
+    x1, y1 = end_cells[:, 0], end_cells[:, 1]
+    steep = jnp.abs(y1 - y0) > jnp.abs(x1 - x0)
+    ax0 = jnp.where(steep, y0, x0)
+    ay0 = jnp.where(steep, x0, y0)
+    ax1 = jnp.where(steep, y1, x1)
+    ay1 = jnp.where(steep, x1, y1)
+    flip = ax0 > ax1
+    bx0 = jnp.where(flip, ax1, ax0)
+    by0 = jnp.where(flip, ay1, ay0)
+    bx1 = jnp.where(flip, ax0, ax1)
+    by1 = jnp.where(flip, ay0, ay1)
+    dx = bx1 - bx0                      # >= 0
+    dy = jnp.abs(by1 - by0)
+    ystep = jnp.where(by0 < by1, 1, -1)
+
+    k = jnp.arange(max_steps, dtype=jnp.int32)[None, :]      # (1,K)
+    dx_safe = jnp.maximum(dx, 1)[:, None]
+    minor_off = (2 * k * dy[:, None] + dx[:, None]) // (2 * dx_safe)
+    maj = bx0[:, None] + k                                    # (N,K)
+    mnr = by0[:, None] + ystep[:, None] * minor_off
+    px = jnp.where(steep[:, None], mnr, maj)
+    py = jnp.where(steep[:, None], maj, mnr)
+    ok = (
+        beam_valid[:, None]
+        & (k <= dx[:, None])
+        & (px >= 0) & (px < width) & (py >= 0) & (py < height)
+    )
+    flat = jnp.where(ok, py * width + px, width * height)
+    pass_flat = jnp.ravel(pass_cnt)
+    pass_flat = jnp.concatenate(
+        [pass_flat, jnp.zeros((1,), pass_cnt.dtype)]
+    )
+    pass_flat = pass_flat.at[flat.ravel()].add(1, mode="drop")
+
+    # endpoint hit + extra pass (RayTrace, Karto.h:6217-6231)
+    eok = (
+        beam_valid & end_valid
+        & (x1 >= 0) & (x1 < width) & (y1 >= 0) & (y1 < height)
+    )
+    eflat = jnp.where(eok, y1 * width + x1, width * height)
+    pass_flat = pass_flat.at[eflat].add(1, mode="drop")
+    hit_flat = jnp.ravel(hit_cnt)
+    hit_flat = jnp.concatenate([hit_flat, jnp.zeros((1,), hit_cnt.dtype)])
+    hit_flat = hit_flat.at[eflat].add(1, mode="drop")
+    return (
+        pass_flat[:-1].reshape(height, width),
+        hit_flat[:-1].reshape(height, width),
+    )
+
+
+@jax.jit
+def update_cells(pass_cnt, hit_cnt, min_pass_through, occupancy_threshold):
+    """UpdateCell thresholding (Karto.h:6242-6253)."""
+    counted = pass_cnt > min_pass_through
+    ratio = hit_cnt.astype(jnp.float32) / jnp.maximum(
+        pass_cnt.astype(jnp.float32), 1.0
+    )
+    occupied = counted & (ratio > occupancy_threshold)
+    return jnp.where(
+        occupied, jnp.uint8(OCCUPIED),
+        jnp.where(counted, jnp.uint8(FREE), jnp.uint8(UNKNOWN)),
+    )
+
+
+class OccupancyGrid:
+    """Rendered occupancy map with its world transform."""
+
+    def __init__(self, cells, offset, resolution, pass_cnt=None, hit_cnt=None):
+        self.cells = np.asarray(cells)          # (H, W) uint8 grid states
+        self.offset = np.asarray(offset)        # world xy of cell (0, 0)
+        self.resolution = float(resolution)
+        self.pass_cnt = pass_cnt
+        self.hit_cnt = hit_cnt
+
+    @property
+    def width(self):
+        return self.cells.shape[1]
+
+    @property
+    def height(self):
+        return self.cells.shape[0]
+
+    def world_to_grid(self, xy):
+        return np.asarray(
+            round_half_away((np.asarray(xy) - self.offset) / self.resolution)
+        ).astype(np.int64)
+
+    def is_free(self, cell_xy) -> bool:
+        x, y = int(cell_xy[0]), int(cell_xy[1])
+        if not (0 <= x < self.width and 0 <= y < self.height):
+            return False
+        return self.cells[y, x] == FREE
+
+    def ray_cast(self, pose, max_range: float) -> float:
+        """Distance to the closest obstacle along the pose heading
+        (RayCast, Karto.h:6005-6039)."""
+        scale = 1.0 / self.resolution
+        x, y, theta = float(pose[0]), float(pose[1]), float(pose[2])
+        ct, st = np.cos(theta), np.sin(theta)
+        x_steps = 1 + abs(max_range * ct) * scale
+        y_steps = 1 + abs(max_range * st) * scale
+        steps = max(x_steps, y_steps)
+        delta = max_range / steps
+        distance = delta
+        for i in range(1, int(steps)):
+            gx = self.world_to_grid(
+                (x + distance * ct, y + distance * st)
+            )
+            if self.is_free(gx):
+                distance = (i + 1) * delta
+            else:
+                break
+        return distance if distance < max_range else max_range
+
+
+def compute_dimensions(scans, resolution: float):
+    """Union of scan bounding boxes -> (width, height, offset)
+    (ComputeDimensions, Karto.h:6088-6112)."""
+    mins = np.full(2, np.inf)
+    maxs = np.full(2, -np.inf)
+    for s in scans:
+        if s is None:
+            continue
+        bb = s.bounding_box
+        mins = np.minimum(mins, bb[0])
+        maxs = np.maximum(maxs, bb[1])
+    scale = 1.0 / resolution
+    size = maxs - mins
+    width = int(round_half_away(size[0] * scale))
+    height = int(round_half_away(size[1] * scale))
+    return width, height, mins
+
+
+def create_from_scans(
+    scans: List,
+    resolution: float,
+    min_pass_through: int = 2,
+    occupancy_threshold: float = 0.1,
+    chunk: int = 64,
+) -> OccupancyGrid:
+    """Full re-raster of all corrected scans (CreateFromScans,
+    Karto.h:5947-6143)."""
+    scans = [s for s in scans if s is not None]
+    if not scans:
+        return None
+    width, height, offset = compute_dimensions(scans, resolution)
+    width, height = max(width, 1), max(height, 1)
+    scale = 1.0 / resolution
+
+    pass_cnt = jnp.zeros((height, width), jnp.int32)
+    hit_cnt = jnp.zeros((height, width), jnp.int32)
+
+    rt = min(s.laser.range_threshold for s in scans)
+    max_steps = int(np.ceil(rt * scale)) + 8
+
+    B = scans[0].laser.n_beams
+    for c0 in range(0, len(scans), chunk):
+        group = scans[c0:c0 + chunk]
+        starts, ends, bvalid, evalid = [], [], [], []
+        for s in group:
+            laser = s.laser
+            r = s.ranges
+            pts = s.points_world(filtered=False).copy()
+            spos = s.sensor_pose[:2]
+            with np.errstate(invalid="ignore"):
+                use = (
+                    np.isfinite(r)
+                    & (r > laser.min_range)
+                    & (r < laser.max_range)
+                )
+                clamp = use & (r >= laser.range_threshold)
+            ratio = np.where(
+                clamp, laser.range_threshold / np.where(r > 0, r, 1.0), 1.0
+            )
+            pts = spos[None, :] + ratio[:, None] * (pts - spos[None, :])
+            end_ok = use & (r < laser.range_threshold - 1e-6)
+            sc = np.asarray(
+                round_half_away((spos - offset) * scale), np.int32
+            )
+            ec = np.asarray(
+                round_half_away(
+                    (np.nan_to_num(pts, nan=-1e6) - offset[None, :]) * scale
+                ),
+                np.int32,
+            )
+            starts.append(np.broadcast_to(sc, (len(r), 2)))
+            ends.append(ec)
+            bvalid.append(use)
+            evalid.append(end_ok)
+        n_pad = chunk * B
+        starts = _pad2(np.concatenate(starts), n_pad)
+        ends = _pad2(np.concatenate(ends), n_pad)
+        bvalid = _pad1(np.concatenate(bvalid), n_pad)
+        evalid = _pad1(np.concatenate(evalid), n_pad)
+        pass_cnt, hit_cnt = trace_beams(
+            pass_cnt, hit_cnt,
+            jnp.asarray(starts), jnp.asarray(ends),
+            jnp.asarray(bvalid), jnp.asarray(evalid),
+            width, height, max_steps,
+        )
+
+    cells = update_cells(
+        pass_cnt, hit_cnt,
+        jnp.int32(min_pass_through), jnp.float32(occupancy_threshold),
+    )
+    return OccupancyGrid(
+        np.asarray(cells), offset, resolution,
+        pass_cnt=np.asarray(pass_cnt), hit_cnt=np.asarray(hit_cnt),
+    )
+
+
+def _pad2(a, n):
+    out = np.zeros((n, 2), a.dtype)
+    out[: len(a)] = a
+    return out
+
+
+def _pad1(a, n):
+    out = np.zeros((n,), a.dtype)
+    out[: len(a)] = a
+    return out

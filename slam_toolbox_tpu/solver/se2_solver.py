@@ -1,0 +1,350 @@
+"""SE(2) pose-graph optimizer: sparse Gauss-Newton / Levenberg-Marquardt in
+JAX with block-Jacobi-preconditioned CG on the normal equations.
+
+TPU-native replacement for the Ceres plugin (/root/reference/solvers/
+ceres_solver.cpp). The measurement model matches PoseGraph2dErrorTerm
+(ceres_utils.h:74-121):
+
+    r = sqrt_info · [ R(yaw_a)^T (p_b - p_a) - p_ab ;
+                      normalize(yaw_b - yaw_a - yaw_ab) ]
+
+with sqrt_information the upper-triangular Cholesky factor of the inverse
+edge covariance (ceres_solver.cpp:364-376), and the first node held constant
+as the gauge (ceres_solver.cpp:228-241). The API mirrors the abstract
+ScanSolver interface (Mapper.h:954-1066): AddNode / AddConstraint /
+RemoveNode / RemoveConstraint / Compute / GetCorrections / ModifyNode /
+Clear / Reset / GetGraph.
+
+Design notes (TPU-first, not a port): the normal equations are never
+materialized as a sparse matrix. Hx products are computed from per-node
+diagonal blocks (segment-summed) plus per-edge off-diagonal blocks with
+scatter-adds — all static-shaped, padded to power-of-two capacities so jit
+specializations are bounded. Multi-device: see dist/ (edge-sharded Hx with
+psum).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _pad_pow2(n: int, floor: int = 16) -> int:
+    p = floor
+    while p < n:
+        p <<= 1
+    return p
+
+
+def edge_residual(poses, src, dst, rel, sqrt_info, emask):
+    """Whitened residuals (E,3) for all edges."""
+    pa = poses[src]  # (E,3)
+    pb = poses[dst]
+    ca, sa = jnp.cos(pa[:, 2]), jnp.sin(pa[:, 2])
+    dx = pb[:, 0] - pa[:, 0]
+    dy = pb[:, 1] - pa[:, 1]
+    rx = ca * dx + sa * dy - rel[:, 0]
+    ry = -sa * dx + ca * dy - rel[:, 1]
+    dth = pb[:, 2] - pa[:, 2] - rel[:, 2]
+    rth = jnp.arctan2(jnp.sin(dth), jnp.cos(dth))
+    r = jnp.stack([rx, ry, rth], axis=-1)
+    r = jnp.einsum("eij,ej->ei", sqrt_info, r)
+    return jnp.where(emask[:, None], r, 0.0)
+
+
+def edge_jacobians(poses, src, dst, rel, sqrt_info, emask):
+    """Whitened Jacobian blocks (E,3,3) wrt pose a and pose b."""
+    pa = poses[src]
+    pb = poses[dst]
+    ca, sa = jnp.cos(pa[:, 2]), jnp.sin(pa[:, 2])
+    dx = pb[:, 0] - pa[:, 0]
+    dy = pb[:, 1] - pa[:, 1]
+    z = jnp.zeros_like(ca)
+    o = jnp.ones_like(ca)
+    # d r_xy / d theta_a : derivative of R(ha)^T applied to (pb-pa)
+    dr_xy_dha_x = -sa * dx + ca * dy
+    dr_xy_dha_y = -ca * dx - sa * dy
+    ja = jnp.stack(
+        [
+            jnp.stack([-ca, -sa, dr_xy_dha_x], -1),
+            jnp.stack([sa, -ca, dr_xy_dha_y], -1),
+            jnp.stack([z, z, -o], -1),
+        ],
+        axis=-2,
+    )  # (E,3,3)
+    jb = jnp.stack(
+        [
+            jnp.stack([ca, sa, z], -1),
+            jnp.stack([-sa, ca, z], -1),
+            jnp.stack([z, z, o], -1),
+        ],
+        axis=-2,
+    )
+    ja = jnp.einsum("eij,ejk->eik", sqrt_info, ja)
+    jb = jnp.einsum("eij,ejk->eik", sqrt_info, jb)
+    m = emask[:, None, None]
+    return jnp.where(m, ja, 0.0), jnp.where(m, jb, 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("n_nodes",))
+def build_normal_blocks(poses, src, dst, rel, sqrt_info, emask, n_nodes: int):
+    """Gauss-Newton normal equation pieces:
+    diag blocks (N,3,3), per-edge off-diagonal blocks (E,3,3) = Ja^T Jb,
+    gradient b = -J^T r (N,3), chi2."""
+    r = edge_residual(poses, src, dst, rel, sqrt_info, emask)
+    ja, jb = edge_jacobians(poses, src, dst, rel, sqrt_info, emask)
+    haa = jnp.einsum("eji,ejk->eik", ja, ja)
+    hbb = jnp.einsum("eji,ejk->eik", jb, jb)
+    hab = jnp.einsum("eji,ejk->eik", ja, jb)
+    diag = jnp.zeros((n_nodes, 3, 3), poses.dtype)
+    diag = diag.at[src].add(haa, mode="drop")
+    diag = diag.at[dst].add(hbb, mode="drop")
+    grad = jnp.zeros((n_nodes, 3), poses.dtype)
+    grad = grad.at[src].add(-jnp.einsum("eji,ej->ei", ja, r), mode="drop")
+    grad = grad.at[dst].add(-jnp.einsum("eji,ej->ei", jb, r), mode="drop")
+    chi2 = jnp.sum(r * r)
+    return diag, hab, grad, chi2
+
+
+@jax.jit
+def chi2_only(poses, src, dst, rel, sqrt_info, emask):
+    r = edge_residual(poses, src, dst, rel, sqrt_info, emask)
+    return jnp.sum(r * r)
+
+
+def _hx(x, diag_damped, hab, src, dst, free):
+    """H @ x with the gauge row/col projected out."""
+    x = x * free[:, None]
+    out = jnp.einsum("nij,nj->ni", diag_damped, x)
+    out = out.at[src].add(
+        jnp.einsum("eij,ej->ei", hab, x[dst]), mode="drop"
+    )
+    out = out.at[dst].add(
+        jnp.einsum("eji,ej->ei", hab, x[src]), mode="drop"
+    )
+    return out * free[:, None]
+
+
+@functools.partial(jax.jit, static_argnames=("cg_iters",))
+def solve_pcg(diag, hab, grad, src, dst, free, lm_lambda, cg_iters: int,
+              cg_tol):
+    """Block-Jacobi preconditioned CG on (H + λ·diagH) x = b."""
+    eye = jnp.eye(3, dtype=diag.dtype)
+    damp = lm_lambda * jnp.einsum("nii->n", diag)[:, None, None] * eye / 3.0
+    diag_d = diag + damp + 1e-8 * eye
+    # preconditioner: inverse of damped diagonal blocks
+    minv = jnp.linalg.inv(diag_d + 1e-6 * eye)
+    b = grad * free[:, None]
+
+    def mv(x):
+        return _hx(x, diag_d, hab, src, dst, free)
+
+    def prec(r):
+        return jnp.einsum("nij,nj->ni", minv, r) * free[:, None]
+
+    x0 = jnp.zeros_like(b)
+    r0 = b - mv(x0)
+    z0 = prec(r0)
+    p0 = z0
+    rz0 = jnp.sum(r0 * z0)
+    bnorm = jnp.maximum(jnp.sum(b * b), 1e-30)
+
+    def body(state):
+        i, x, r, p, rz = state
+        hp = mv(p)
+        alpha = rz / jnp.maximum(jnp.sum(p * hp), 1e-30)
+        x = x + alpha * p
+        r = r - alpha * hp
+        z = prec(r)
+        rz_new = jnp.sum(r * z)
+        beta = rz_new / jnp.maximum(rz, 1e-30)
+        p = z + beta * p
+        return i + 1, x, r, p, rz_new
+
+    def cond(state):
+        i, x, r, p, rz = state
+        return (i < cg_iters) & (jnp.sum(r * r) > cg_tol * bnorm)
+
+    _, x, _, _, _ = jax.lax.while_loop(cond, body, (0, x0, r0, p0, rz0))
+    return x
+
+
+class PoseGraphSolver:
+    """Incremental SE(2) pose-graph solver (ScanSolver-equivalent)."""
+
+    def __init__(self, config=None):
+        from slam_toolbox_tpu.core.params import SolverConfig
+
+        self.config = config or SolverConfig()
+        self._ids: List[int] = []
+        self._id_to_idx: Dict[int, int] = {}
+        self._poses: List[np.ndarray] = []
+        self._edges: Dict[Tuple[int, int], Tuple[np.ndarray, np.ndarray]] = {}
+        self._first_id: Optional[int] = None
+        self.corrections: List[Tuple[int, np.ndarray]] = []
+
+    # -- ScanSolver API (Mapper.h:954-1066) ---------------------------------
+    def add_node(self, node_id: int, pose) -> None:
+        if node_id in self._id_to_idx:
+            return
+        if self._first_id is None:
+            self._first_id = node_id  # gauge (ceres_solver.cpp:317-336)
+        self._id_to_idx[node_id] = len(self._ids)
+        self._ids.append(node_id)
+        self._poses.append(np.asarray(pose, dtype=np.float64).copy())
+
+    def add_constraint(
+        self, id1: int, id2: int, rel_pose, covariance
+    ) -> bool:
+        """Edge with relative pose (in frame of node id1) and its covariance;
+        information = cov^-1, whitening by its upper Cholesky factor
+        (ceres_solver.cpp:364-376)."""
+        if id1 not in self._id_to_idx or id2 not in self._id_to_idx:
+            return False
+        info = np.linalg.inv(np.asarray(covariance, dtype=np.float64))
+        info = 0.5 * (info + info.T)
+        # matrixU of LLT: upper factor U with U^T U = info
+        sqrt_info = np.linalg.cholesky(info).T
+        self._edges[(id1, id2)] = (
+            np.asarray(rel_pose, dtype=np.float64).copy(),
+            sqrt_info,
+        )
+        return True
+
+    def remove_node(self, node_id: int) -> None:
+        if node_id not in self._id_to_idx:
+            return
+        idx = self._id_to_idx.pop(node_id)
+        self._ids.pop(idx)
+        self._poses.pop(idx)
+        for i in range(idx, len(self._ids)):
+            self._id_to_idx[self._ids[i]] = i
+        if node_id == self._first_id:
+            self._first_id = self._ids[0] if self._ids else None
+
+    def remove_constraint(self, id1: int, id2: int) -> None:
+        self._edges.pop((id1, id2), None)
+        self._edges.pop((id2, id1), None)
+
+    def modify_node(self, node_id: int, pose) -> None:
+        """Manually move a node (loop_closure_assistant manual closure);
+        note the reference *adds* the given yaw to the stored yaw
+        (ceres_solver.cpp:451-461)."""
+        if node_id not in self._id_to_idx:
+            return
+        cur = self._poses[self._id_to_idx[node_id]]
+        pose = np.asarray(pose, dtype=np.float64)
+        self._poses[self._id_to_idx[node_id]] = np.array(
+            [pose[0], pose[1], cur[2] + pose[2]]
+        )
+
+    def get_node_pose(self, node_id: int) -> np.ndarray:
+        return self._poses[self._id_to_idx[node_id]]
+
+    def set_node_pose(self, node_id: int, pose) -> None:
+        self._poses[self._id_to_idx[node_id]] = np.asarray(
+            pose, dtype=np.float64
+        ).copy()
+
+    def get_graph(self):
+        """(nodes dict id->pose, edge list) for visualization."""
+        nodes = {i: p.copy() for i, p in zip(self._ids, self._poses)}
+        return nodes, list(self._edges.keys())
+
+    def clear(self) -> None:
+        self.corrections = []
+
+    def reset(self) -> None:
+        self.__init__(self.config)
+
+    @property
+    def n_nodes(self) -> int:
+        return len(self._ids)
+
+    @property
+    def n_edges(self) -> int:
+        return len(self._edges)
+
+    # -- Compute (ceres_solver.cpp:214-269 analog) --------------------------
+    def compute(self) -> List[Tuple[int, np.ndarray]]:
+        n, e = len(self._ids), len(self._edges)
+        if n == 0 or e == 0:
+            self.corrections = [
+                (i, p.copy()) for i, p in zip(self._ids, self._poses)
+            ]
+            return self.corrections
+
+        cfg = self.config
+        n_pad, e_pad = _pad_pow2(n), _pad_pow2(e)
+        poses = np.zeros((n_pad, 3), np.float32)
+        poses[:n] = np.stack(self._poses)
+        src = np.zeros(e_pad, np.int32)
+        dst = np.zeros(e_pad, np.int32)
+        rel = np.zeros((e_pad, 3), np.float32)
+        sqrt_info = np.zeros((e_pad, 3, 3), np.float32)
+        emask = np.zeros(e_pad, bool)
+        for k, ((i1, i2), (rp, si)) in enumerate(self._edges.items()):
+            src[k] = self._id_to_idx[i1]
+            dst[k] = self._id_to_idx[i2]
+            rel[k] = rp
+            sqrt_info[k] = si
+            emask[k] = True
+        src[e:] = n_pad - 1  # harmless padding targets
+        dst[e:] = n_pad - 1
+        free = np.ones(n_pad, np.float32)
+        free[n:] = 0.0
+        if self._first_id in self._id_to_idx:
+            free[self._id_to_idx[self._first_id]] = 0.0
+
+        poses_j = jnp.asarray(poses)
+        args = tuple(
+            jnp.asarray(a) for a in (src, dst, rel, sqrt_info, emask)
+        )
+        free_j = jnp.asarray(free)
+
+        lam = cfg.initial_lm_lambda
+        chi2 = float(chi2_only(poses_j, *args))
+        for it in range(cfg.max_iterations):
+            diag, hab, grad, _ = build_normal_blocks(
+                poses_j, *args, n_nodes=n_pad
+            )
+            gnorm = float(jnp.max(jnp.abs(grad * free_j[:, None])))
+            if gnorm < cfg.gradient_tolerance:
+                break
+            step = solve_pcg(
+                diag, hab, grad, args[0], args[1], free_j,
+                jnp.float32(lam), cfg.cg_max_iterations,
+                jnp.float32(cfg.cg_tolerance),
+            )
+            new_poses = poses_j + step
+            # wrap headings
+            new_poses = new_poses.at[:, 2].set(
+                jnp.arctan2(jnp.sin(new_poses[:, 2]), jnp.cos(new_poses[:, 2]))
+            )
+            new_chi2 = float(chi2_only(new_poses, *args))
+            if new_chi2 <= chi2:
+                rel_decrease = (chi2 - new_chi2) / max(chi2, 1e-30)
+                step_norm = float(jnp.max(jnp.abs(step)))
+                poses_j = new_poses
+                chi2 = new_chi2
+                lam = max(lam * 0.3, 1e-9)
+                if (
+                    rel_decrease < cfg.function_tolerance
+                    or step_norm < cfg.parameter_tolerance * 1e-2
+                ):
+                    break
+            else:
+                lam = min(lam * 10.0, 1e6)
+                if lam >= 1e6:
+                    break
+
+        result = np.asarray(poses_j[:n], dtype=np.float64)
+        self.corrections = [
+            (node_id, result[i].copy()) for i, node_id in enumerate(self._ids)
+        ]
+        for i in range(n):
+            self._poses[i] = result[i].copy()
+        return self.corrections
