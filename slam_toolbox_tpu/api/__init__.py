@@ -1,1 +1,3 @@
-from slam_toolbox_tpu.api.slam import ProcessType, SlamSession  # noqa: F401
+from slam_toolbox_tpu.api.slam import (  # noqa: F401
+    MatchType, ProcessType, SlamSession,
+)

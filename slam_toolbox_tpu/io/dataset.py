@@ -30,20 +30,41 @@ class SegmentWorld:
     @staticmethod
     def rooms(width: float = 16.0, height: float = 10.0) -> "SegmentWorld":
         """A two-room apartment with a corridor and some furniture —
-        enough structure for unambiguous matching and a loop."""
+        enough structure for unambiguous matching and a loop. Doorways are
+        placed so the canonical loop trajectory (see scripts/smoke_e2e.py)
+        never crosses a wall."""
         w, h = width / 2, height / 2
         segs = [
             (-w, -h, w, -h), (w, -h, w, h), (w, h, -w, h), (-w, h, -w, -h),
-            # inner wall with a doorway
-            (-1.0, -h, -1.0, -1.0), (-1.0, 1.0, -1.0, h),
+            # inner wall with doorways at y in [-4.5,-2.5] and [2.5,4.5]
+            (-1.0, -h, -1.0, -4.5), (-1.0, -2.5, -1.0, 2.5),
+            (-1.0, 4.5, -1.0, h),
             # corridor wall
-            (2.5, -h + 2.0, w - 2.0, -h + 2.0),
+            (2.5, -3.0, 4.5, -3.0),
             # furniture blocks
-            (-w + 1.0, 2.0, -w + 2.5, 2.0), (-w + 2.5, 2.0, -w + 2.5, 3.0),
-            (3.0, 2.0, 4.5, 2.0), (4.5, 2.0, 4.5, 3.5), (3.0, 3.5, 4.5, 3.5),
+            (-5.0, 0.5, -4.0, 0.5), (-4.0, 0.5, -4.0, 1.5),
+            (-5.0, 1.5, -5.0, 0.5),
+            (3.0, 1.5, 4.5, 1.5), (4.5, 1.5, 4.5, 2.6), (3.0, 2.6, 4.5, 2.6),
             (-4.0, -2.0, -3.0, -3.0),
         ]
         return SegmentWorld(segs)
+
+    def path_crosses_wall(self, waypoints: np.ndarray) -> bool:
+        """True if any straight leg between waypoints intersects a wall —
+        driving through a zero-thickness wall flips scan visibility and
+        makes matching ill-posed, so simulations should validate this."""
+        wps = np.asarray(waypoints, dtype=np.float64)
+        for i in range(len(wps) - 1):
+            a, b = wps[i], wps[i + 1]
+            d = b - a
+            L = np.hypot(*d)
+            if L < 1e-12:
+                continue
+            ang = np.array([np.arctan2(d[1], d[0])])
+            r = self.cast(a, ang, max_range=np.inf)
+            if np.isfinite(r[0]) and r[0] < L - 1e-9:
+                return True
+        return False
 
     def cast(self, origin: np.ndarray, angles: np.ndarray,
              max_range: float) -> np.ndarray:
@@ -63,7 +84,7 @@ class SegmentWorld:
             u = (
                 dx[:, None] * (y0[None, :] - oy)
                 - dy[:, None] * (x0[None, :] - ox)
-            ) / (-denom)
+            ) / denom
         good = (t > 1e-9) & (u >= 0.0) & (u <= 1.0) & np.isfinite(t)
         t = np.where(good, t, np.inf)
         r = t.min(axis=1)
@@ -105,8 +126,11 @@ class LidarSimulator:
     ):
         """Walk waypoints at `step` spacing; returns list of
         (scan: LocalizedScan with noisy odometry, true_pose)."""
-        from slam_toolbox_tpu.core import geometry
-
+        if self.world.path_crosses_wall(waypoints):
+            raise ValueError(
+                "trajectory crosses a wall segment; fix the waypoints or "
+                "the world (scan visibility flips make matching ill-posed)"
+            )
         true_poses = trajectory_from_waypoints(waypoints, step)
         out = []
         odom = np.array(true_poses[0])
@@ -114,17 +138,32 @@ class LidarSimulator:
         prev_true = true_poses[0]
         for i, tp in enumerate(true_poses):
             if i > 0:
-                rel = np.asarray(geometry.relative_pose(prev_true, tp))
+                rel = _relative_np(prev_true, tp)
                 rel[0] += self.rng.normal(0, self.odom_noise[0])
                 rel[1] += self.rng.normal(0, self.odom_noise[0] * 0.3)
                 rel[2] += self.rng.normal(0, self.odom_noise[1])
-                odom = np.asarray(geometry.compose(odom, rel))
+                odom = _compose_np(odom, rel)
                 prev_true = tp
             r = self.scan_at(tp)
             scan = LocalizedScan(self.laser, r, odom.copy(), time=t)
             out.append((scan, np.array(tp)))
             t += dt
         return out
+
+
+def _relative_np(a, b):
+    c, s = np.cos(a[2]), np.sin(a[2])
+    dx, dy = b[0] - a[0], b[1] - a[1]
+    h = np.arctan2(np.sin(b[2] - a[2]), np.cos(b[2] - a[2]))
+    return np.array([c * dx + s * dy, -s * dx + c * dy, h])
+
+
+def _compose_np(a, d):
+    c, s = np.cos(a[2]), np.sin(a[2])
+    h = np.arctan2(np.sin(a[2] + d[2]), np.cos(a[2] + d[2]))
+    return np.array(
+        [a[0] + c * d[0] - s * d[1], a[1] + s * d[0] + c * d[1], h]
+    )
 
 
 def trajectory_from_waypoints(waypoints: np.ndarray, step: float):

@@ -1,0 +1,89 @@
+"""End-to-end pipeline tests: synthetic world -> full SLAM -> ATE assertion
+(the SURVEY.md §7.2 milestone; BASELINE config 1)."""
+import numpy as np
+import pytest
+
+from slam_toolbox_tpu.api import SlamSession
+from slam_toolbox_tpu.core.params import MapperConfig
+from slam_toolbox_tpu.core.scan import LaserConfig
+from slam_toolbox_tpu.io.dataset import (
+    LidarSimulator, SegmentWorld, ate_rmse,
+)
+
+
+def sim_config():
+    laser = LaserConfig(
+        min_range=0.05, max_range=12.0, range_threshold=10.0,
+        angular_resolution=np.deg2rad(1.0),
+    )
+    cfg = MapperConfig(
+        minimum_travel_distance=0.2,
+        minimum_time_interval=3600.0,
+        scan_buffer_size=10,
+        link_match_minimum_response_fine=0.1,
+        link_scan_maximum_distance=1.5,
+        correlation_search_space_dimension=0.5,
+        correlation_search_space_resolution=0.01,
+        correlation_search_space_smear_deviation=0.1,
+        distance_variance_penalty=0.5,
+        angle_variance_penalty=1.0,
+    )
+    return laser, cfg
+
+
+def run_sequence(data, sess):
+    est, gt, odo = [], [], []
+    for i, (scan, tp) in enumerate(data):
+        out = sess.process_scan(scan.ranges, scan.odom_pose, time=i * 0.1)
+        if out is not None:
+            est.append(out[0])
+            gt.append(tp)
+            odo.append(scan.odom_pose)
+    return np.stack(est), np.stack(gt), np.stack(odo)
+
+
+@pytest.fixture(scope="module")
+def loop_run():
+    laser, cfg = sim_config()
+    world = SegmentWorld.rooms(16.0, 10.0)
+    sim = LidarSimulator(
+        world, laser, range_noise=0.01, odom_noise=(0.02, 0.008), seed=7
+    )
+    waypoints = np.array([
+        (-6.0, -3.5), (1.5, -3.5), (5.5, -3.5), (5.5, 0.5), (5.5, 3.5),
+        (1.0, 3.5), (-3.0, 3.5), (-6.0, 3.0), (-6.5, -1.0), (-6.0, -3.5),
+    ])
+    data = sim.simulate(waypoints, step=0.45)
+    sess = SlamSession(cfg, laser)
+    est, gt, odo = run_sequence(data, sess)
+    return sess, est, gt, odo
+
+
+def test_slam_beats_odometry(loop_run):
+    sess, est, gt, odo = loop_run
+    ate_slam = ate_rmse(est, gt)
+    ate_odom = ate_rmse(odo, gt)
+    assert ate_slam < ate_odom, f"slam {ate_slam} vs odom {ate_odom}"
+    assert ate_slam < 0.15
+
+
+def test_graph_grows(loop_run):
+    sess, est, gt, odo = loop_run
+    assert sess.mapper.solver.n_nodes == len(est)
+    assert len(sess.mapper.graph.edges) >= len(est) - 1
+
+
+def test_map_renders(loop_run):
+    sess, est, gt, odo = loop_run
+    grid = sess.get_occupancy_grid(0.1)
+    assert (grid.cells == 100).sum() > 100
+    assert (grid.cells == 255).sum() > 1000
+
+
+def test_map_to_odom_transform(loop_run):
+    sess, est, gt, odo = loop_run
+    from slam_toolbox_tpu.core import geometry
+
+    # applying map->odom to the last odom pose gives the corrected pose
+    recon = np.asarray(geometry.compose(sess.map_to_odom, odo[-1]))
+    np.testing.assert_allclose(recon[:2], est[-1][:2], atol=1e-6)
