@@ -1,0 +1,102 @@
+"""Benchmark: online synchronous mapping throughput on one chip.
+
+Runs the BASELINE config-1 workload (synthetic apartment loop, 1081-beam
+lidar, online_sync matcher settings: 0.5 m / 0.01 m sequential window,
+8 m / 0.05 m loop window) through the full SLAM pipeline and reports
+steady-state scans/sec.
+
+Baseline: slam_toolbox reports 5x+ real-time synchronous mapping on a
+robot CPU (README.md:40); at a typical 10 Hz lidar that is ~50 scans/sec.
+vs_baseline = our scans/sec / 50.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    from slam_toolbox_tpu.api import SlamSession
+    from slam_toolbox_tpu.core.params import MapperConfig
+    from slam_toolbox_tpu.core.scan import LaserConfig
+    from slam_toolbox_tpu.io.dataset import (
+        LidarSimulator, SegmentWorld, ate_rmse,
+    )
+
+    laser = LaserConfig(
+        min_range=0.05, max_range=12.0, range_threshold=10.0,
+        angular_resolution=np.deg2rad(1.0 / 3),  # 1081 beams
+    )
+    world = SegmentWorld.rooms(16.0, 10.0)
+    sim = LidarSimulator(
+        world, laser, range_noise=0.01, odom_noise=(0.015, 0.006), seed=42
+    )
+    waypoints = np.array([
+        (-6.0, -3.5), (1.5, -3.5), (5.5, -3.5), (5.5, 0.5), (5.5, 3.5),
+        (1.0, 3.5), (-3.0, 3.5), (-6.0, 3.0), (-6.5, -1.0), (-6.0, -3.5),
+    ])
+    data = sim.simulate(waypoints, step=0.3)
+
+    cfg = MapperConfig(
+        minimum_travel_distance=0.2, minimum_time_interval=3600.0,
+        scan_buffer_size=10,
+        link_match_minimum_response_fine=0.1,
+        link_scan_maximum_distance=1.5,
+        loop_search_maximum_distance=3.0,
+        loop_match_minimum_response_coarse=0.35,
+        loop_match_minimum_response_fine=0.45,
+        loop_match_maximum_variance_coarse=3.0,
+        correlation_search_space_dimension=0.5,
+        correlation_search_space_resolution=0.01,
+        correlation_search_space_smear_deviation=0.1,
+        distance_variance_penalty=0.5, angle_variance_penalty=1.0,
+    )
+    sess = SlamSession(cfg, laser)
+
+    warmup = 20
+    n = 0
+    est, gt, odo = [], [], []
+    t_start = None
+    t0 = time.time()
+    for i, (scan, tp) in enumerate(data):
+        out = sess.process_scan(scan.ranges, scan.odom_pose, time=i * 0.1)
+        if out is not None:
+            n += 1
+            est.append(out[0])
+            gt.append(tp)
+            odo.append(scan.odom_pose)
+        if i % 25 == 0:
+            print(f"# scan {i} t={time.time()-t0:.1f}s", file=sys.stderr,
+                  flush=True)
+        if i == warmup - 1:
+            t_start = time.time()
+            n_warm = n
+    elapsed = time.time() - t_start
+    n_measured = n - n_warm
+    scans_per_sec = n_measured / elapsed
+
+    est, gt, odo = np.stack(est), np.stack(gt), np.stack(odo)
+    ate = ate_rmse(est, gt)
+    ate_odom = ate_rmse(odo, gt)
+    assert ate < ate_odom, (
+        f"accuracy regression: ATE {ate:.3f} vs odom {ate_odom:.3f}"
+    )
+
+    print(json.dumps({
+        "metric": "online_sync_scans_per_sec_1chip",
+        "value": round(scans_per_sec, 3),
+        "unit": "scans/s",
+        "vs_baseline": round(scans_per_sec / 50.0, 3),
+    }))
+    print(
+        f"# ATE slam={ate:.3f} m, odom={ate_odom:.3f} m, "
+        f"{n} scans processed",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

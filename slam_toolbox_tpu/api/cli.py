@@ -1,0 +1,170 @@
+"""Command-line driver: run a dataset end-to-end and emit map + trajectory
++ metrics (replaces the reference's launch-file + rosbag workflow for the
+engine layer).
+
+Usage:
+  python -m slam_toolbox_tpu.api.cli demo --out /tmp/run   # synthetic demo
+  python -m slam_toolbox_tpu.api.cli run --dataset scans.npz --out /tmp/run
+  python -m slam_toolbox_tpu.api.cli merge a.npz b.npz --out merged
+
+Dataset format (npz): ranges (N, B), odom (N, 3), times (N,), plus laser
+intrinsics as scalars (min_range, max_range, range_threshold, min_angle,
+max_angle, angular_resolution).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _save_pgm(grid, path_prefix: str) -> None:
+    """Write .pgm/.yaml like map_saver (map_server conventions)."""
+    from slam_toolbox_tpu.kernels.occupancy import FREE, OCCUPIED, UNKNOWN
+
+    cells = grid.cells[::-1]  # image convention: y down
+    img = np.full(cells.shape, 205, np.uint8)  # unknown gray
+    img[cells == FREE] = 254
+    img[cells == OCCUPIED] = 0
+    with open(path_prefix + ".pgm", "wb") as f:
+        f.write(
+            f"P5\n{cells.shape[1]} {cells.shape[0]}\n255\n".encode()
+        )
+        f.write(img.tobytes())
+    with open(path_prefix + ".yaml", "w") as f:
+        f.write(
+            f"image: {path_prefix}.pgm\n"
+            f"resolution: {grid.resolution}\n"
+            f"origin: [{grid.offset[0]}, {grid.offset[1]}, 0.0]\n"
+            "negate: 0\noccupied_thresh: 0.65\nfree_thresh: 0.196\n"
+        )
+
+
+def cmd_demo(args) -> int:
+    from slam_toolbox_tpu.api import SlamSession
+    from slam_toolbox_tpu.core.params import MapperConfig, ONLINE_SYNC
+    from slam_toolbox_tpu.core.scan import LaserConfig
+    from slam_toolbox_tpu.io.dataset import (
+        LidarSimulator, SegmentWorld, ate_rmse,
+    )
+
+    laser = LaserConfig(
+        min_range=0.05, max_range=12.0, range_threshold=10.0,
+        angular_resolution=np.deg2rad(1.0),
+    )
+    world = SegmentWorld.rooms(16.0, 10.0)
+    sim = LidarSimulator(world, laser, range_noise=0.01,
+                         odom_noise=(0.015, 0.006), seed=args.seed)
+    waypoints = np.array([
+        (-6.0, -3.5), (1.5, -3.5), (5.5, -3.5), (5.5, 0.5), (5.5, 3.5),
+        (1.0, 3.5), (-3.0, 3.5), (-6.0, 3.0), (-6.5, -1.0), (-6.0, -3.5),
+    ])
+    data = sim.simulate(waypoints, step=args.step)
+    cfg = ONLINE_SYNC.replace(minimum_time_interval=3600.0)
+    sess = SlamSession(cfg, laser)
+    t0 = time.time()
+    est, gt, odo = [], [], []
+    for i, (scan, tp) in enumerate(data):
+        out = sess.process_scan(scan.ranges, scan.odom_pose, time=i * 0.1)
+        if out is not None:
+            est.append(out[0])
+            gt.append(tp)
+            odo.append(scan.odom_pose)
+    dt = time.time() - t0
+    est, gt, odo = np.stack(est), np.stack(gt), np.stack(odo)
+    _finish(sess, args.out, dt, len(est), est, gt, odo)
+    return 0
+
+
+def cmd_run(args) -> int:
+    from slam_toolbox_tpu.api import SlamSession
+    from slam_toolbox_tpu.core.params import ONLINE_SYNC
+    from slam_toolbox_tpu.core.scan import LaserConfig
+
+    z = np.load(args.dataset)
+    laser = LaserConfig(
+        min_range=float(z["min_range"]), max_range=float(z["max_range"]),
+        range_threshold=float(z["range_threshold"]),
+        min_angle=float(z["min_angle"]), max_angle=float(z["max_angle"]),
+        angular_resolution=float(z["angular_resolution"]),
+    )
+    cfg = ONLINE_SYNC.replace(minimum_time_interval=3600.0)
+    sess = SlamSession(cfg, laser)
+    t0 = time.time()
+    est = []
+    for i in range(len(z["ranges"])):
+        t = float(z["times"][i]) if "times" in z else i * 0.1
+        out = sess.process_scan(z["ranges"][i], z["odom"][i], time=t)
+        if out is not None:
+            est.append(out[0])
+    dt = time.time() - t0
+    est = np.stack(est) if est else np.zeros((0, 3))
+    _finish(sess, args.out, dt, len(est), est, None, None)
+    return 0
+
+
+def _finish(sess, out_prefix, dt, n, est, gt, odo):
+    from slam_toolbox_tpu.io.dataset import ate_rmse
+
+    grid = sess.get_occupancy_grid()
+    if grid is not None:
+        _save_pgm(grid, out_prefix)
+    np.savetxt(out_prefix + "_trajectory.txt", est)
+    sess.serialize(out_prefix + ".posegraph.npz")
+    metrics = {
+        "scans_processed": int(n),
+        "wall_time_s": round(dt, 2),
+        "scans_per_sec": round(n / dt, 2) if dt > 0 else None,
+        "nodes": sess.mapper.solver.n_nodes,
+        "edges": len(sess.mapper.graph.edges) if sess.mapper.graph else 0,
+    }
+    if gt is not None:
+        metrics["ate_rmse_m"] = round(ate_rmse(est, gt), 4)
+        metrics["ate_odom_m"] = round(ate_rmse(odo, gt), 4)
+    with open(out_prefix + "_metrics.json", "w") as f:
+        json.dump(metrics, f, indent=2)
+    print(json.dumps(metrics))
+
+
+def cmd_merge(args) -> int:
+    from slam_toolbox_tpu.api.merge import MapMerger
+
+    merger = MapMerger()
+    for p in args.snapshots:
+        merger.add_submap(p)
+    grid = merger.merge(resolution=args.resolution)
+    _save_pgm(grid, args.out)
+    print(json.dumps({"width": grid.width, "height": grid.height}))
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="slam_toolbox_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    d = sub.add_parser("demo", help="synthetic end-to-end demo run")
+    d.add_argument("--out", default="/tmp/slam_demo")
+    d.add_argument("--seed", type=int, default=42)
+    d.add_argument("--step", type=float, default=0.3)
+    d.set_defaults(fn=cmd_demo)
+
+    r = sub.add_parser("run", help="run a recorded dataset (npz)")
+    r.add_argument("--dataset", required=True)
+    r.add_argument("--out", default="/tmp/slam_run")
+    r.set_defaults(fn=cmd_run)
+
+    m = sub.add_parser("merge", help="merge serialized sessions")
+    m.add_argument("snapshots", nargs="+")
+    m.add_argument("--out", default="/tmp/slam_merged")
+    m.add_argument("--resolution", type=float, default=0.05)
+    m.set_defaults(fn=cmd_merge)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,4 +1,7 @@
-"""Batched SE(2) geometry, the L0 math layer.
+"""Batched SE(2) geometry, the L0 math layer (host-side, pure NumPy).
+
+These run on the host orchestration path where per-call device dispatch
+would dominate (jitted kernels inline their own math); keep them NumPy.
 
 Poses are arrays of shape (..., 3) = (x, y, heading). All functions are pure,
 vectorized, and jit-safe. Reference semantics (cited for parity, not ported):
@@ -9,7 +12,6 @@ vectorized, and jit-safe. Reference semantics (cited for parity, not ported):
 """
 from __future__ import annotations
 
-import jax.numpy as jnp
 import numpy as np
 
 KT_TOLERANCE = 1e-6  # Math.h:41
@@ -18,7 +20,7 @@ MAX_VARIANCE = 500.0  # Mapper.cpp:52
 
 def normalize_angle(angle):
     """Wrap angle(s) to [-pi, pi]. (Math.h:182)"""
-    return jnp.arctan2(jnp.sin(angle), jnp.cos(angle))
+    return np.arctan2(np.sin(angle), np.cos(angle))
 
 
 def normalize_angle_np(angle):
@@ -27,9 +29,9 @@ def normalize_angle_np(angle):
 
 def rot2(theta):
     """(...,) -> (..., 2, 2) rotation matrices."""
-    c, s = jnp.cos(theta), jnp.sin(theta)
-    return jnp.stack(
-        [jnp.stack([c, -s], axis=-1), jnp.stack([s, c], axis=-1)], axis=-2
+    c, s = np.cos(theta), np.sin(theta)
+    return np.stack(
+        [np.stack([c, -s], axis=-1), np.stack([s, c], axis=-1)], axis=-2
     )
 
 
@@ -38,22 +40,22 @@ def compose(a, b):
 
     Matches Transform(a).TransformPose(b) (Karto.h:2974-2980).
     """
-    a = jnp.asarray(a)
-    b = jnp.asarray(b)
-    ca, sa = jnp.cos(a[..., 2]), jnp.sin(a[..., 2])
+    a = np.asarray(a)
+    b = np.asarray(b)
+    ca, sa = np.cos(a[..., 2]), np.sin(a[..., 2])
     x = a[..., 0] + ca * b[..., 0] - sa * b[..., 1]
     y = a[..., 1] + sa * b[..., 0] + ca * b[..., 1]
     h = normalize_angle(a[..., 2] + b[..., 2])
-    return jnp.stack([x, y, h], axis=-1)
+    return np.stack([x, y, h], axis=-1)
 
 
 def inverse(p):
     """SE(2) inverse: compose(inverse(p), p) == identity."""
-    p = jnp.asarray(p)
-    c, s = jnp.cos(p[..., 2]), jnp.sin(p[..., 2])
+    p = np.asarray(p)
+    c, s = np.cos(p[..., 2]), np.sin(p[..., 2])
     x = -(c * p[..., 0] + s * p[..., 1])
     y = -(-s * p[..., 0] + c * p[..., 1])
-    return jnp.stack([x, y, -p[..., 2]], axis=-1)
+    return np.stack([x, y, -p[..., 2]], axis=-1)
 
 
 def relative_pose(p1, p2):
@@ -62,15 +64,15 @@ def relative_pose(p1, p2):
     Matches Transform(rPose1, Pose2()).TransformPose(rPose2) used at
     Mapper.h:180-181: position R(-h1)·(pos2-pos1), heading h2-h1 normalized.
     """
-    p1 = jnp.asarray(p1)
-    p2 = jnp.asarray(p2)
-    c, s = jnp.cos(p1[..., 2]), jnp.sin(p1[..., 2])
+    p1 = np.asarray(p1)
+    p2 = np.asarray(p2)
+    c, s = np.cos(p1[..., 2]), np.sin(p1[..., 2])
     dx = p2[..., 0] - p1[..., 0]
     dy = p2[..., 1] - p1[..., 1]
     x = c * dx + s * dy
     y = -s * dx + c * dy
     h = normalize_angle(p2[..., 2] - p1[..., 2])
-    return jnp.stack([x, y, h], axis=-1)
+    return np.stack([x, y, h], axis=-1)
 
 
 def transform_pose_between(p1, p2, p):
@@ -81,17 +83,17 @@ def transform_pose_between(p1, p2, p):
     Used for odometry propagation through the last correction
     (Mapper.cpp:2698-2701).
     """
-    p1 = jnp.asarray(p1)
-    p2 = jnp.asarray(p2)
-    p = jnp.asarray(p)
+    p1 = np.asarray(p1)
+    p2 = np.asarray(p2)
+    p = np.asarray(p)
     dh = p2[..., 2] - p1[..., 2]
-    c, s = jnp.cos(dh), jnp.sin(dh)
+    c, s = np.cos(dh), np.sin(dh)
     tx = p2[..., 0] - (c * p1[..., 0] - s * p1[..., 1])
     ty = p2[..., 1] - (s * p1[..., 0] + c * p1[..., 1])
     x = tx + c * p[..., 0] - s * p[..., 1]
     y = ty + s * p[..., 0] + c * p[..., 1]
     h = normalize_angle(p[..., 2] + dh)
-    return jnp.stack([x, y, h], axis=-1)
+    return np.stack([x, y, h], axis=-1)
 
 
 def sensor_at(robot_pose, offset_pose):
@@ -104,18 +106,18 @@ def corrected_at(sensor_pose, offset_pose):
     360°-lidar frame fix (Karto.h:5574-5586): the world offset keeps the
     offset pose's own heading, and the subtraction is componentwise.
     """
-    sensor_pose = jnp.asarray(sensor_pose)
-    offset_pose = jnp.asarray(offset_pose)
+    sensor_pose = np.asarray(sensor_pose)
+    offset_pose = np.asarray(offset_pose)
     ox, oy, oh = offset_pose[..., 0], offset_pose[..., 1], offset_pose[..., 2]
-    length = jnp.sqrt(ox * ox + oy * oy)
-    alpha = jnp.arctan2(oy, ox)
+    length = np.sqrt(ox * ox + oy * oy)
+    alpha = np.arctan2(oy, ox)
     hs = normalize_angle(sensor_pose[..., 2])
-    wx = length * jnp.cos(hs + alpha - oh)
-    wy = length * jnp.sin(hs + alpha - oh)
+    wx = length * np.cos(hs + alpha - oh)
+    wy = length * np.sin(hs + alpha - oh)
     x = sensor_pose[..., 0] - wx
     y = sensor_pose[..., 1] - wy
     h = normalize_angle(sensor_pose[..., 2] - oh)
-    return jnp.stack([x, y, h], axis=-1)
+    return np.stack([x, y, h], axis=-1)
 
 
 def rot3_z(theta):
@@ -124,15 +126,15 @@ def rot3_z(theta):
     Matches Matrix3::FromAxisAngle(0,0,1,theta) (Karto.h:2496-2528) as used
     to rotate edge covariances into the source frame (Mapper.h:183-187).
     """
-    theta = jnp.asarray(theta)
-    c, s = jnp.cos(theta), jnp.sin(theta)
-    z = jnp.zeros_like(c)
-    o = jnp.ones_like(c)
-    return jnp.stack(
+    theta = np.asarray(theta)
+    c, s = np.cos(theta), np.sin(theta)
+    z = np.zeros_like(c)
+    o = np.ones_like(c)
+    return np.stack(
         [
-            jnp.stack([c, -s, z], axis=-1),
-            jnp.stack([s, c, z], axis=-1),
-            jnp.stack([z, z, o], axis=-1),
+            np.stack([c, -s, z], axis=-1),
+            np.stack([s, c, z], axis=-1),
+            np.stack([z, z, o], axis=-1),
         ],
         axis=-2,
     )
@@ -142,7 +144,7 @@ def rotate_covariance(cov, theta):
     """R(theta) · cov · R(theta)^T with R = rot3_z (Mapper.h:183-187 uses
     theta = -h1 to express the covariance in the source-pose frame)."""
     r = rot3_z(theta)
-    return r @ cov @ jnp.swapaxes(r, -1, -2)
+    return r @ cov @ np.swapaxes(r, -1, -2)
 
 
 def weighted_mean_pose(means, covariances):
@@ -153,20 +155,20 @@ def weighted_mean_pose(means, covariances):
     (x, y, h) vector; the heading is then overwritten by the *unweighted*
     circular mean, exactly as the reference does.
     """
-    means = jnp.asarray(means)
-    covariances = jnp.asarray(covariances)
-    inverses = jnp.linalg.inv(covariances)  # (K,3,3)
-    sum_inv = jnp.sum(inverses, axis=0)
-    inv_sum_inv = jnp.linalg.inv(sum_inv)
+    means = np.asarray(means)
+    covariances = np.asarray(covariances)
+    inverses = np.linalg.inv(covariances)  # (K,3,3)
+    sum_inv = np.sum(inverses, axis=0)
+    inv_sum_inv = np.linalg.inv(sum_inv)
     weights = inv_sum_inv[None] @ inverses  # (K,3,3)
-    fused = jnp.sum((weights @ means[..., None])[..., 0], axis=0)  # (3,)
+    fused = np.sum((weights @ means[..., None])[..., 0], axis=0)  # (3,)
     # heading via circular mean, then wrap componentwise sum like Pose2 +=
-    tx = jnp.mean(jnp.cos(means[:, 2]))
-    ty = jnp.mean(jnp.sin(means[:, 2]))
-    return jnp.array([fused[0], fused[1], jnp.arctan2(ty, tx)])
+    tx = np.mean(np.cos(means[:, 2]))
+    ty = np.mean(np.sin(means[:, 2]))
+    return np.array([fused[0], fused[1], np.arctan2(ty, tx)])
 
 
 def se2_points_world(pose, local_points):
     """Transform (B, 2) local points by pose -> world points (B, 2)."""
     r = rot2(pose[..., 2])
-    return pose[..., None, :2] + (local_points @ jnp.swapaxes(r, -1, -2))
+    return pose[..., None, :2] + (local_points @ np.swapaxes(r, -1, -2))

@@ -50,12 +50,52 @@ class PoseGraph:
         self.vertices: Dict[str, Dict[int, object]] = {}
         self.edges: List[Edge] = []
         self.adjacency: Dict[int, List[Edge]] = {}
+        self._version = 0       # bumped on any structural/pose change
+        self._cache_version = -1
+        self._cache = None      # (scans, uid_to_idx, xy, indptr, indices)
+
+    def _bump(self) -> None:
+        self._version += 1
+
+    def _query_structure(self):
+        """CSR adjacency + reference positions for native queries, cached
+        per graph version."""
+        if self._cache_version == self._version and self._cache is not None:
+            return self._cache
+        use_bc = self.mapper.config.use_scan_barycenter
+        scans = []
+        for name in self.vertices:
+            scans.extend(self.vertices[name].values())
+        uid_to_idx = {s.unique_id: i for i, s in enumerate(scans)}
+        n = len(scans)
+        xy = np.zeros((n, 2))
+        for i, s in enumerate(scans):
+            xy[i] = s.reference_pose(use_bc)[:2]
+        counts = np.zeros(n + 1, np.int64)
+        rows = []
+        for i, s in enumerate(scans):
+            nbrs = []
+            for e in self.adjacency.get(s.unique_id, []):
+                o = e.target if e.source is s else e.source
+                j = uid_to_idx.get(o.unique_id)
+                if j is not None:
+                    nbrs.append(j)
+            rows.append(nbrs)
+            counts[i + 1] = len(nbrs)
+        indptr = np.cumsum(counts)
+        indices = np.concatenate(
+            [np.asarray(r, np.int64) for r in rows]
+        ) if rows and indptr[-1] > 0 else np.zeros(0, np.int64)
+        self._cache = (scans, uid_to_idx, xy, indptr, indices)
+        self._cache_version = self._version
+        return self._cache
 
     # -- vertex / edge primitives ------------------------------------------
     def add_vertex(self, scan) -> None:
         """AddVertex + solver AddNode (Mapper.cpp:1418-1432)."""
         self.vertices.setdefault(scan.laser.name, {})[scan.state_id] = scan
         self.adjacency.setdefault(scan.unique_id, [])
+        self._bump()
         if self.mapper.solver is not None:
             self.mapper.solver.add_node(scan.unique_id, scan.corrected_pose)
 
@@ -76,6 +116,7 @@ class PoseGraph:
         self.edges.append(e)
         self.adjacency.setdefault(from_scan.unique_id, []).append(e)
         self.adjacency.setdefault(to_scan.unique_id, []).append(e)
+        self._bump()
         if self.mapper.solver is not None:
             self.mapper.solver.add_constraint(
                 from_scan.unique_id, to_scan.unique_id,
@@ -98,6 +139,7 @@ class PoseGraph:
                     e.source.unique_id, e.target.unique_id
                 )
         self.adjacency.pop(uid, None)
+        self._bump()
         if self.mapper.solver is not None:
             self.mapper.solver.remove_node(uid)
         sensor_map = self.vertices.get(scan.laser.name, {})
@@ -120,6 +162,19 @@ class PoseGraph:
         continues only through vertices passing the distance predicate."""
         use_bc = self.mapper.config.use_scan_barycenter
         center = scan.reference_pose(use_bc)[:2]
+
+        from slam_toolbox_tpu import native
+
+        if native.get_lib() is not None:
+            scans, uid_to_idx, xy, indptr, indices = self._query_structure()
+            start = uid_to_idx.get(scan.unique_id)
+            if start is None:
+                return []
+            order = native.bfs_within_radius(
+                xy, indptr, indices, start, center, max_distance
+            )
+            return [scans[i] for i in order]
+
         max_sq = max_distance * max_distance - 1e-6  # KT_TOLERANCE slack
         seen = {scan.unique_id}
         out = []
@@ -215,6 +270,7 @@ class PoseGraph:
                 )
             )
             scan.set_sensor_pose(fused)
+        self._bump()  # scan positions may have moved (query cache)
 
     def link_near_chains(self, scan, means, covariances) -> None:
         """LinkNearChains (Mapper.cpp:1639-1661): match against each near
@@ -411,3 +467,4 @@ class PoseGraph:
             if s is not None:
                 s.set_corrected_pose(pose)
         solver.clear()
+        self._bump()

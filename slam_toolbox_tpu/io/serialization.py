@@ -112,8 +112,10 @@ def load_snapshot(path: str, mapper=None):
     if mapper is None:
         mapper = Mapper(config)
     else:
+        # an existing mapper keeps its own (node-level) configuration, as
+        # the reference re-applies ROS params after LoadFromFile
+        # (slam_toolbox_common.cpp:952-1017)
         mapper.reset()
-        mapper.config = config
     mapper.initialize(meta["range_threshold"])
 
     lasers = {

@@ -69,124 +69,28 @@ def _match_pass(
     fine: bool,
 ):
     G = g_size
-    B = d.shape[1]
-    na, ny, nx = angles.shape[0], y_offsets.shape[0], x_offsets.shape[0]
     sink = grid_flat.shape[0] - 1
-
-    gx = d[:, :, 0][:, :, None] + cand_x[None, None, :]  # (na,B,nx)
-    gy = d[:, :, 1][:, :, None] + cand_y[None, None, :]  # (na,B,ny)
-    okx = (gx >= 0) & (gx < G)
-    oky = (gy >= 0) & (gy < G)
-    ok = (
-        oky[:, :, :, None]
-        & okx[:, :, None, :]
-        & finite[None, :, None, None]
-    )  # (na,B,ny,nx)
-    flat = jnp.where(
-        ok,
-        gy[:, :, :, None] * G + gx[:, :, None, :],
-        sink,
+    resp_p = _score_tensor(
+        grid_flat, G, sink, cand_x, cand_y, d, finite,
+        x_offsets, y_offsets, angles, center[2],
+        penalize, dist_var_penalty, ang_var_penalty,
+        min_dist_pen, min_ang_pen,
     )
-    vals = jnp.take(grid_flat, flat, axis=0)  # (na,B,ny,nx) int8
-    resp = jnp.sum(vals.astype(jnp.int32), axis=1).astype(jnp.float32) / (
-        jnp.float32(B) * 100.0
-    )  # (na,ny,nx)
-
-    # odometry-deviation penalty (Mapper.cpp:671-685)
-    sq_xy = (
-        y_offsets[:, None] ** 2 + x_offsets[None, :] ** 2
-    )  # (ny,nx)
-    dist_pen = jnp.maximum(
-        1.0 - 0.2 * sq_xy / dist_var_penalty, min_dist_pen
+    best, mean = _tie_average(
+        resp_p, center[0] + x_offsets, center[1] + y_offsets, angles
     )
-    sq_ang = (angles - center[2]) ** 2  # (na,)
-    ang_pen = jnp.maximum(
-        1.0 - 0.2 * sq_ang / ang_var_penalty, min_ang_pen
-    )
-    pen = dist_pen[None, :, :] * ang_pen[:, None, None]
-    resp_p = jnp.where(
-        penalize & (jnp.abs(resp) > KT_TOLERANCE), resp * pen, resp
-    )
-
-    # tie-averaged best pose (Mapper.cpp:775-829)
-    best = jnp.max(resp_p)
-    tie = resp_p >= best - KT_TOLERANCE  # DoubleEqual
-    cnt = jnp.sum(tie)
-    wx = center[0] + x_offsets  # (nx,)
-    wy = center[1] + y_offsets  # (ny,)
-    avg_x = jnp.sum(jnp.where(tie, wx[None, None, :], 0.0)) / cnt
-    avg_y = jnp.sum(jnp.where(tie, wy[None, :, None], 0.0)) / cnt
-    tx = jnp.sum(jnp.where(tie, jnp.cos(angles)[:, None, None], 0.0)) / cnt
-    ty = jnp.sum(jnp.where(tie, jnp.sin(angles)[:, None, None], 0.0)) / cnt
-    avg_h = jnp.arctan2(ty, tx)
-    mean = jnp.stack([avg_x, avg_y, avg_h])
-
-    best = jnp.minimum(best, 1.0)
 
     if not fine:
-        # positional covariance from the response surface
-        # (ComputePositionalCovariance, Mapper.cpp:874-966)
-        probs = jnp.max(resp_p, axis=0)  # (ny,nx) best over angles per cell
-        dx = avg_x - center[0]
-        dy = avg_y - center[1]
-        use = probs >= best - 0.1
-        norm = jnp.sum(jnp.where(use, probs, 0.0))
-        xm = x_offsets[None, :] - dx  # (1,nx)
-        ym = y_offsets[:, None] - dy  # (ny,1)
-        acc_xx = jnp.sum(jnp.where(use, xm**2 * probs, 0.0))
-        acc_xy = jnp.sum(jnp.where(use, xm * ym * probs, 0.0))
-        acc_yy = jnp.sum(jnp.where(use, ym**2 * probs, 0.0))
-        var_th = 4.0 * angle_step**2
-        min_var = 0.1 * step_xy**2
-        mult = 1.0 / jnp.maximum(best, KT_TOLERANCE)
-        vxx = jnp.maximum(acc_xx / norm, min_var) * mult
-        vyy = jnp.maximum(acc_yy / norm, min_var) * mult
-        vxy = (acc_xy / norm) * mult
-        cov_ok = jnp.array(
-            [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]],
-            jnp.float32,
+        probs = jnp.max(resp_p, axis=0)
+        cov = _positional_cov(
+            probs, best, mean[0], mean[1], center, x_offsets, y_offsets,
+            step_xy, angle_step,
         )
-        cov_ok = cov_ok.at[0, 0].set(vxx)
-        cov_ok = cov_ok.at[0, 1].set(vxy)
-        cov_ok = cov_ok.at[1, 0].set(vxy)
-        cov_ok = cov_ok.at[1, 1].set(vyy)
-        cov_ok = cov_ok.at[2, 2].set(var_th)
-        # norm <= tol -> covariance stays identity (reference resets to I
-        # and only fills when norm > tolerance, Mapper.cpp:935-955)
-        cov_norm = jnp.where(norm > KT_TOLERANCE, cov_ok, jnp.eye(3))
-        cov_low = jnp.diag(
-            jnp.array([MAX_VARIANCE, MAX_VARIANCE, var_th], jnp.float32)
-        )
-        cov = jnp.where(best < KT_TOLERANCE, cov_low, cov_norm)
         return best, mean, cov
     else:
-        # angular covariance at the best position
-        # (ComputeAngularCovariance, Mapper.cpp:977-1025) — unpenalized
-        # responses at the tie-averaged best cell over the fine angles.
-        bx = rz.round_half_away((avg_x - offset[0]) * scale).astype(jnp.int32)
-        by = rz.round_half_away((avg_y - offset[1]) * scale).astype(jnp.int32)
-        agx = d[:, :, 0] + bx  # (na,B)
-        agy = d[:, :, 1] + by
-        aok = (
-            (agx >= 0) & (agx < G) & (agy >= 0) & (agy < G) & finite[None, :]
-        )
-        aflat = jnp.where(aok, agy * G + agx, sink)
-        avals = jnp.take(grid_flat, aflat, axis=0)
-        resp_a = jnp.sum(avals.astype(jnp.int32), axis=1).astype(
-            jnp.float32
-        ) / (jnp.float32(B) * 100.0)  # (na,)
-        # NormalizeAngleDifference(avg_h, center_h)
-        best_angle = avg_h + 2 * jnp.pi * jnp.round(
-            (center[2] - avg_h) / (2 * jnp.pi)
-        )
-        use = resp_a >= best - 0.1
-        norm = jnp.sum(jnp.where(use, resp_a, 0.0))
-        acc = jnp.sum(
-            jnp.where(use, (angles - best_angle) ** 2 * resp_a, 0.0)
-        )
-        acc = jnp.where(acc < KT_TOLERANCE, angle_step**2, acc)
-        var_th = jnp.where(
-            norm > KT_TOLERANCE, acc / norm, 1000.0 * angle_step**2
+        var_th = _angular_cov(
+            grid_flat, G, sink, offset, scale, d, finite,
+            mean, best, center[2], angles, angle_step,
         )
         return best, mean, var_th
 
@@ -238,6 +142,21 @@ class Matcher:
         # cells, stride = 2 cells (MatchScan, Mapper.cpp:577-585)
         self.coarse_extent = 0.5 * (self.roi - 1) * self.resolution
         self.coarse_step = 2.0 * self.resolution
+        # static candidate sets for the fused path
+        self._xy_coarse = _search_offsets(self.coarse_extent,
+                                          self.coarse_step)
+        self._xy_fine = _search_offsets(self.coarse_step * 0.5,
+                                        self.resolution)
+        self._na_coarse = int(np.floor(
+            self.coarse_angle_offset * 2.0 / self.coarse_angle_resolution
+            + 0.5)) + 1
+        # fine pass angle args follow the reference's (swapped) call:
+        # offset = 0.5*coarse resolution, step = FineSearchAngleOffset
+        # (MatchScan, Mapper.cpp:625-628)
+        self._fine_angle_offset = 0.5 * self.coarse_angle_resolution
+        self._fine_angle_res = self.fine_angle_offset
+        self._na_fine = int(np.floor(
+            self._fine_angle_offset * 2.0 / self._fine_angle_res + 0.5)) + 1
 
     # -- raster construction ------------------------------------------------
     def build_grid(self, base_scans, viewpoint_pose: np.ndarray):
@@ -248,28 +167,7 @@ class Matcher:
             dtype=np.float64,
         )
         vp = np.asarray(viewpoint_pose[:2], dtype=np.float64)
-        pts_list, valid_list = [], []
-        for sc in base_scans:
-            if sc is None:
-                continue
-            pts = sc.points_world(filtered=False)
-            struct = _fvp_structure(sc)
-            valid = rz.find_valid_mask(pts, struct, vp)
-            pts_list.append(pts)
-            valid_list.append(valid)
-        if not pts_list:
-            pts = np.zeros((0, 2))
-            valid = np.zeros((0,), bool)
-        else:
-            pts = np.concatenate(pts_list, axis=0)
-            valid = np.concatenate(valid_list, axis=0)
-        # pad to a power-of-two bucket to bound jit specializations
-        P = max(1024, 1 << int(np.ceil(np.log2(max(len(pts), 1)))))
-        pad = P - len(pts)
-        pts_p = np.zeros((P, 2), np.float32)
-        pts_p[: len(pts)] = np.nan_to_num(pts, nan=-1e9)
-        valid_p = np.zeros((P,), bool)
-        valid_p[: len(valid)] = valid
+        pts_p, valid_p = self._base_points(base_scans, vp)
         grid = rz.rasterize_smear(
             jnp.asarray(pts_p),
             jnp.asarray(valid_p),
@@ -282,10 +180,86 @@ class Matcher:
         grid_i8 = _quantize_pad(grid)
         return grid_i8, off
 
+    def _base_points(self, base_scans, viewpoint_xy):
+        """Concatenated (padded) base-scan world points + validity mask."""
+        pts_list, valid_list = [], []
+        for sc in base_scans:
+            if sc is None:
+                continue
+            pts = sc.points_world(filtered=False)
+            struct = _fvp_structure(sc)
+            valid = rz.find_valid_mask(pts, struct, viewpoint_xy)
+            pts_list.append(pts)
+            valid_list.append(valid)
+        if not pts_list:
+            pts = np.zeros((0, 2))
+            valid = np.zeros((0,), bool)
+        else:
+            pts = np.concatenate(pts_list, axis=0)
+            valid = np.concatenate(valid_list, axis=0)
+        P = max(1024, 1 << int(np.ceil(np.log2(max(len(pts), 1)))))
+        pts_p = np.zeros((P, 2), np.float32)
+        pts_p[: len(pts)] = np.nan_to_num(pts, nan=-1e9)
+        valid_p = np.zeros((P,), bool)
+        valid_p[: len(valid)] = valid
+        return pts_p, valid_p
+
     # -- full match (MatchScan, Mapper.cpp:534-639) -------------------------
     def match_scan(
-        self, scan, base_scans, penalize: bool = True, refine: bool = True
+        self, scan, base_scans, penalize: bool = True, refine: bool = True,
+        exact: bool = False,
     ) -> MatchResult:
+        """Fused single-call match by default; `exact=True` uses the
+        two-call path with f64 host index tables (bit-matching the NumPy
+        oracle) and is also the fallback that implements response
+        expansion."""
+        if not exact:
+            center = np.asarray(scan.sensor_pose, dtype=np.float64)
+            off = np.asarray(
+                center[:2] - 0.5 * (self.G - 1) * self.resolution,
+                dtype=np.float64,
+            )
+            pts_p, valid_p = self._base_points(base_scans, center[:2])
+            local_pts = np.ascontiguousarray(
+                scan.local_points, dtype=np.float32
+            )
+            local_pts = np.nan_to_num(local_pts, nan=0.0)
+            finite = np.isfinite(scan.ranges)
+            packed = _match_full(
+                jnp.asarray(pts_p), jnp.asarray(valid_p),
+                jnp.asarray(off, jnp.float32),
+                jnp.asarray(center, jnp.float32),
+                jnp.asarray(local_pts), jnp.asarray(finite),
+                jnp.asarray(self._xy_coarse, jnp.float32),
+                jnp.asarray(self._xy_coarse, jnp.float32),
+                jnp.asarray(self._xy_fine, jnp.float32),
+                jnp.asarray(self._xy_fine, jnp.float32),
+                jnp.float32(self.scale), jnp.float32(self.sigma_cells),
+                jnp.float32(self.coarse_angle_offset),
+                jnp.float32(self.coarse_angle_resolution),
+                jnp.float32(self._fine_angle_offset),
+                jnp.float32(self._fine_angle_res),
+                jnp.bool_(penalize),
+                *self.penalty_params,
+                grid_size=self.G, half_kernel=self.half_kernel,
+                na_coarse=self._na_coarse, na_fine=self._na_fine,
+                refine=refine,
+            )
+            packed = np.asarray(packed, np.float64)
+            best = float(packed[0])
+            if best <= KT_TOLERANCE and self.use_response_expansion:
+                return self.match_scan(
+                    scan, base_scans, penalize=penalize, refine=refine,
+                    exact=True,
+                )
+            mean = packed[1:4]
+            mean[2] = _normalize(mean[2])
+            return MatchResult(
+                response=best,
+                sensor_pose=mean,
+                covariance=packed[4:13].reshape(3, 3),
+            )
+
         center = np.asarray(scan.sensor_pose, dtype=np.float64)
         grid_flat, off = self.build_grid(base_scans, center)
 
@@ -374,6 +348,214 @@ class Matcher:
         mean = np.asarray(mean, np.float64)
         mean[2] = _normalize(mean[2])
         return float(best), mean, np.asarray(cov, np.float64)
+
+
+def _score_tensor(
+    grid_flat, G, sink, cand_x, cand_y, d, finite,
+    x_offsets, y_offsets, angles, center_h,
+    penalize, dist_var_penalty, ang_var_penalty, min_dist_pen, min_ang_pen,
+):
+    """Response tensor (na, ny, nx) from integer gather tables — shared by
+    the exact two-call path and the fused single-call path."""
+    B = d.shape[1]
+    gx = d[:, :, 0][:, :, None] + cand_x[None, None, :]
+    gy = d[:, :, 1][:, :, None] + cand_y[None, None, :]
+    okx = (gx >= 0) & (gx < G)
+    oky = (gy >= 0) & (gy < G)
+    ok = (
+        oky[:, :, :, None] & okx[:, :, None, :]
+        & finite[None, :, None, None]
+    )
+    flat = jnp.where(ok, gy[:, :, :, None] * G + gx[:, :, None, :], sink)
+    vals = jnp.take(grid_flat, flat, axis=0)
+    resp = jnp.sum(vals.astype(jnp.int32), axis=1).astype(jnp.float32) / (
+        jnp.float32(B) * 100.0
+    )
+    sq_xy = y_offsets[:, None] ** 2 + x_offsets[None, :] ** 2
+    dist_pen = jnp.maximum(1.0 - 0.2 * sq_xy / dist_var_penalty, min_dist_pen)
+    sq_ang = (angles - center_h) ** 2
+    ang_pen = jnp.maximum(1.0 - 0.2 * sq_ang / ang_var_penalty, min_ang_pen)
+    pen = dist_pen[None, :, :] * ang_pen[:, None, None]
+    return jnp.where(
+        penalize & (jnp.abs(resp) > KT_TOLERANCE), resp * pen, resp
+    )
+
+
+def _tie_average(resp_p, wx, wy, angles):
+    best = jnp.max(resp_p)
+    tie = resp_p >= best - KT_TOLERANCE
+    cnt = jnp.sum(tie)
+    avg_x = jnp.sum(jnp.where(tie, wx[None, None, :], 0.0)) / cnt
+    avg_y = jnp.sum(jnp.where(tie, wy[None, :, None], 0.0)) / cnt
+    tx = jnp.sum(jnp.where(tie, jnp.cos(angles)[:, None, None], 0.0)) / cnt
+    ty = jnp.sum(jnp.where(tie, jnp.sin(angles)[:, None, None], 0.0)) / cnt
+    return jnp.minimum(best, 1.0), jnp.stack(
+        [avg_x, avg_y, jnp.arctan2(ty, tx)]
+    )
+
+
+def _rotated_tables(angles, local_pts, scale):
+    """In-kernel (f32) version of build_index_tables' rotated offsets; used
+    by the fused path where the fine-pass angles depend on the coarse
+    result (cell-boundary flips vs f64 are immaterial at runtime)."""
+    c, s = jnp.cos(angles), jnp.sin(angles)
+    rx = (c[:, None] * local_pts[None, :, 0]
+          - s[:, None] * local_pts[None, :, 1]) * scale
+    ry = (s[:, None] * local_pts[None, :, 0]
+          + c[:, None] * local_pts[None, :, 1]) * scale
+    return jnp.stack(
+        [rz.round_half_away(rx), rz.round_half_away(ry)], axis=-1
+    ).astype(jnp.int32)
+
+
+def _positional_cov(probs, best, avg_x, avg_y, center, x_offsets, y_offsets,
+                    step_xy, angle_step):
+    dx = avg_x - center[0]
+    dy = avg_y - center[1]
+    use = probs >= best - 0.1
+    norm = jnp.sum(jnp.where(use, probs, 0.0))
+    xm = x_offsets[None, :] - dx
+    ym = y_offsets[:, None] - dy
+    acc_xx = jnp.sum(jnp.where(use, xm**2 * probs, 0.0))
+    acc_xy = jnp.sum(jnp.where(use, xm * ym * probs, 0.0))
+    acc_yy = jnp.sum(jnp.where(use, ym**2 * probs, 0.0))
+    var_th = 4.0 * angle_step**2
+    min_var = 0.1 * step_xy**2
+    mult = 1.0 / jnp.maximum(best, KT_TOLERANCE)
+    vxx = jnp.maximum(acc_xx / norm, min_var) * mult
+    vyy = jnp.maximum(acc_yy / norm, min_var) * mult
+    vxy = (acc_xy / norm) * mult
+    cov_ok = jnp.eye(3, dtype=jnp.float32)
+    cov_ok = cov_ok.at[0, 0].set(vxx)
+    cov_ok = cov_ok.at[0, 1].set(vxy)
+    cov_ok = cov_ok.at[1, 0].set(vxy)
+    cov_ok = cov_ok.at[1, 1].set(vyy)
+    cov_ok = cov_ok.at[2, 2].set(var_th)
+    cov_norm = jnp.where(norm > KT_TOLERANCE, cov_ok, jnp.eye(3))
+    cov_low = jnp.diag(
+        jnp.array([MAX_VARIANCE, MAX_VARIANCE, var_th], jnp.float32)
+    )
+    return jnp.where(best < KT_TOLERANCE, cov_low, cov_norm)
+
+
+def _angular_cov(grid_flat, G, sink, offset, scale, d_fine, finite,
+                 avg, best, center_h, angles, angle_step):
+    bx = rz.round_half_away((avg[0] - offset[0]) * scale).astype(jnp.int32)
+    by = rz.round_half_away((avg[1] - offset[1]) * scale).astype(jnp.int32)
+    agx = d_fine[:, :, 0] + bx
+    agy = d_fine[:, :, 1] + by
+    aok = (agx >= 0) & (agx < G) & (agy >= 0) & (agy < G) & finite[None, :]
+    aflat = jnp.where(aok, agy * G + agx, sink)
+    avals = jnp.take(grid_flat, aflat, axis=0)
+    B = d_fine.shape[1]
+    resp_a = jnp.sum(avals.astype(jnp.int32), axis=1).astype(jnp.float32) / (
+        jnp.float32(B) * 100.0
+    )
+    best_angle = avg[2] + 2 * jnp.pi * jnp.round(
+        (center_h - avg[2]) / (2 * jnp.pi)
+    )
+    use = resp_a >= best - 0.1
+    norm = jnp.sum(jnp.where(use, resp_a, 0.0))
+    acc = jnp.sum(jnp.where(use, (angles - best_angle) ** 2 * resp_a, 0.0))
+    acc = jnp.where(acc < KT_TOLERANCE, angle_step**2, acc)
+    return jnp.where(norm > KT_TOLERANCE, acc / norm,
+                     1000.0 * angle_step**2)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("grid_size", "half_kernel", "na_coarse", "na_fine",
+                     "refine"),
+)
+def _match_full(
+    pts,          # (P,2) f32 base-scan world points
+    valid,        # (P,)
+    offset,       # (2,)
+    center,       # (3,) coarse search-center sensor pose
+    local_pts,    # (B,2)
+    finite,       # (B,)
+    x_off_c, y_off_c,          # coarse candidate offsets
+    x_off_f, y_off_f,          # fine candidate offsets
+    scale, sigma_cells,
+    coarse_angle_offset, coarse_angle_res,
+    fine_angle_offset, fine_angle_res,
+    penalize,
+    dist_var_penalty, ang_var_penalty, min_dist_pen, min_ang_pen,
+    grid_size: int, half_kernel: int, na_coarse: int, na_fine: int,
+    refine: bool,
+):
+    """Fused single-call match: rasterize + smear + quantize + coarse pass +
+    (optional) fine pass + covariances, entirely on device. One host
+    round-trip per MatchScan instead of four."""
+    G = grid_size
+    grid = rz.rasterize_smear(
+        pts, valid, offset, scale, sigma_cells, G, half_kernel
+    )
+    q = rz.round_half_away(grid * 100.0).astype(jnp.int8).reshape(-1)
+    grid_flat = jnp.concatenate([q, jnp.zeros((1,), jnp.int8)])
+    sink = G * G
+
+    # coarse pass
+    ang_c = (
+        center[2] - coarse_angle_offset
+        + coarse_angle_res
+        * jnp.arange(na_coarse, dtype=jnp.float32)
+    )
+    d_c = _rotated_tables(ang_c, local_pts, scale)
+    cand_x = rz.round_half_away(
+        (center[0] + x_off_c - offset[0]) * scale
+    ).astype(jnp.int32)
+    cand_y = rz.round_half_away(
+        (center[1] + y_off_c - offset[1]) * scale
+    ).astype(jnp.int32)
+    resp_c = _score_tensor(
+        grid_flat, G, sink, cand_x, cand_y, d_c, finite,
+        x_off_c, y_off_c, ang_c, center[2],
+        penalize, dist_var_penalty, ang_var_penalty,
+        min_dist_pen, min_ang_pen,
+    )
+    best_c, mean_c = _tie_average(
+        resp_c, center[0] + x_off_c, center[1] + y_off_c, ang_c
+    )
+    probs = jnp.max(resp_c, axis=0)
+    cov = _positional_cov(
+        probs, best_c, mean_c[0], mean_c[1], center, x_off_c, y_off_c,
+        x_off_c[1] - x_off_c[0], coarse_angle_res,
+    )
+
+    if not refine:
+        # pack into one vector: a single device->host transfer per match
+        return jnp.concatenate(
+            [best_c[None], mean_c, cov.reshape(-1)]
+        )
+
+    # fine pass centered at the coarse mean
+    ang_f = (
+        mean_c[2] - fine_angle_offset
+        + fine_angle_res * jnp.arange(na_fine, dtype=jnp.float32)
+    )
+    d_f = _rotated_tables(ang_f, local_pts, scale)
+    cand_xf = rz.round_half_away(
+        (mean_c[0] + x_off_f - offset[0]) * scale
+    ).astype(jnp.int32)
+    cand_yf = rz.round_half_away(
+        (mean_c[1] + y_off_f - offset[1]) * scale
+    ).astype(jnp.int32)
+    resp_f = _score_tensor(
+        grid_flat, G, sink, cand_xf, cand_yf, d_f, finite,
+        x_off_f, y_off_f, ang_f, mean_c[2],
+        penalize, dist_var_penalty, ang_var_penalty,
+        min_dist_pen, min_ang_pen,
+    )
+    best_f, mean_f = _tie_average(
+        resp_f, mean_c[0] + x_off_f, mean_c[1] + y_off_f, ang_f
+    )
+    var_th = _angular_cov(
+        grid_flat, G, sink, offset, scale, d_f, finite,
+        mean_f, best_f, mean_c[2], ang_f, fine_angle_res,
+    )
+    cov = cov.at[2, 2].set(var_th)
+    return jnp.concatenate([best_f[None], mean_f, cov.reshape(-1)])
 
 
 def build_index_tables(angles, local_pts, center, offset, scale, x_off, y_off):

@@ -1,0 +1,175 @@
+"""Lifelong mapping: scan-decay node removal to bound graph growth.
+
+Re-expression of LifelongSlamToolbox
+(/root/reference/src/experimental/slam_toolbox_lifelong.cpp): overlap
+metrics (computeIntersectBounds :373, computeIntersect :404,
+computeIntersectOverUnion :417, computeAreaOverlapRatio :437,
+computeReadingOverlapRatio :455), the objective score
+(computeObjectiveScore :201-253), candidate filtering (computeScores
+:294-330) and node removal (:332-344). Metrics are vectorized NumPy —
+they operate on scan bounding boxes/barycenters, not rasters.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List
+
+import numpy as np
+
+
+@dataclass
+class LifelongConfig:
+    """Defaults from slam_toolbox_lifelong.cpp:49-114."""
+
+    iou_thresh: float = 0.10          # lifelong_minimum_score
+    iou_match: float = 0.85           # lifelong_iou_match
+    removal_score: float = 0.10       # lifelong_node_removal_score
+    overlap_scale: float = 0.06       # lifelong_overlap_score_scale
+    constraint_scale: float = 0.08    # lifelong_constraint_multiplier
+    nearby_penalty: float = 0.001     # lifelong_nearby_penalty
+    candidates_scale: float = 0.03    # lifelong_candidates_scale
+    use_tree: bool = False            # lifelong_search_use_tree
+
+
+def _half_extents(scan):
+    bb = scan.bounding_box
+    return (bb[1] - bb[0]) / 2.0  # (w/2, h/2)
+
+
+def intersect_bounds(s1, s2):
+    """(x_l, x_u, y_l, y_u) of the overlap of barycenter-centered boxes
+    (computeIntersectBounds :373-397 — note the reference centers each
+    bounding box on the scan *barycenter*, not the box center)."""
+    h1, h2 = _half_extents(s1), _half_extents(s2)
+    p1, p2 = s1.barycenter[:2], s2.barycenter[:2]
+    x_u = min(p1[0] + h1[0], p2[0] + h2[0])
+    y_u = min(p1[1] + h1[1], p2[1] + h2[1])
+    x_l = max(p1[0] - h1[0], p2[0] - h2[0])
+    y_l = max(p1[1] - h1[1], p2[1] - h2[1])
+    return x_l, x_u, y_l, y_u
+
+
+def intersect_area(s1, s2) -> float:
+    x_l, x_u, y_l, y_u = intersect_bounds(s1, s2)
+    area = (y_u - y_l) * (x_u - x_l)
+    return area if area > 0.0 else 0.0
+
+
+def iou(s1, s2) -> float:
+    inter = intersect_area(s1, s2)
+    b1 = _half_extents(s1) * 2.0
+    b2 = _half_extents(s2) * 2.0
+    union = b1[0] * b1[1] + b2[0] * b2[1] - inter
+    return inter / union if union > 0 else 0.0
+
+
+def area_overlap_ratio(ref_scan, candidate) -> float:
+    inter = intersect_area(ref_scan, candidate)
+    b = _half_extents(candidate) * 2.0
+    area = b[0] * b[1]
+    return inter / area if area > 0 else 0.0
+
+
+def reading_overlap_ratio(ref_scan, candidate) -> float:
+    pts = candidate.points_world(filtered=True)
+    if len(pts) == 0:
+        return 0.0
+    x_l, x_u, y_l, y_u = intersect_bounds(ref_scan, candidate)
+    inner = (
+        (pts[:, 0] > x_l) & (pts[:, 0] < x_u)
+        & (pts[:, 1] > y_l) & (pts[:, 1] < y_u)
+    )
+    return float(inner.sum()) / float(len(pts))
+
+
+def objective_score(
+    cfg: LifelongConfig,
+    intersect_over_union: float,
+    area_overlap: float,
+    reading_overlap: float,
+    num_constraints: int,
+    initial_score: float,
+    num_candidates: int,
+) -> float:
+    """computeObjectiveScore (:201-253)."""
+    if intersect_over_union > cfg.iou_match and num_constraints < 3:
+        return -1.0
+    overlap = cfg.overlap_scale * min(area_overlap, reading_overlap)
+    constraint_scale = min(
+        1.0, max(0.0, cfg.constraint_scale * (num_constraints - 2))
+    )
+    constraint_scale = min(constraint_scale, overlap)
+    score = (
+        initial_score * (1.0 + constraint_scale)
+        - overlap
+        - cfg.nearby_penalty
+    )
+    return min(score, 1.0)
+
+
+class LifelongMapper:
+    """Wraps a Mapper with per-scan decay evaluation
+    (evaluateNodeDepreciation, :149-178)."""
+
+    def __init__(self, mapper, config: LifelongConfig = None):
+        self.mapper = mapper
+        self.cfg = config or LifelongConfig()
+        self.scores = {}  # unique_id -> vertex score (Vertex::m_Score)
+
+    def process(self, scan, covariance_out=None) -> bool:
+        ok = self.mapper.process(scan, covariance_out=covariance_out)
+        if ok:
+            self.evaluate_node_depreciation(scan)
+        return ok
+
+    def evaluate_node_depreciation(self, scan) -> List[int]:
+        mapper = self.mapper
+        bb = scan.bounding_box
+        size = bb[1] - bb[0]
+        radius = float(np.hypot(*size) / 2.0)
+        if self.cfg.use_tree:
+            candidates = mapper.graph.find_nearby_vertices(
+                scan.laser.name, scan.barycenter, radius
+            )
+        else:
+            candidates = mapper.graph.find_near_linked_scans(scan, radius)
+
+        # filter: minimum IOU + at least 2 constraints (computeScores)
+        filtered = []
+        for c in candidates:
+            if c is scan:
+                continue
+            n_con = len(mapper.graph.adjacency.get(c.unique_id, []))
+            if iou(scan, c) >= self.cfg.iou_thresh and n_con >= 2:
+                filtered.append(c)
+
+        removed = []
+        for c in filtered:
+            score = self._score(scan, c, len(filtered))
+            if score < self.cfg.removal_score:
+                mapper.remove_node_from_graph(c)
+                self.scores.pop(c.unique_id, None)
+                removed.append(c.unique_id)
+            else:
+                self.scores[c.unique_id] = score
+        return removed
+
+    def _score(self, ref_scan, candidate, num_candidates) -> float:
+        """computeScore (:255-292): recent scans and the first two nodes
+        are protected."""
+        mapper = self.mapper
+        initial = self.scores.get(candidate.unique_id, 1.0)
+        critical = candidate.unique_id in (0, 1)
+        id_diff = ref_scan.unique_id - candidate.unique_id
+        if id_diff < mapper.config.scan_buffer_size or critical:
+            return initial
+        n_con = len(mapper.graph.adjacency.get(candidate.unique_id, []))
+        return objective_score(
+            self.cfg,
+            iou(ref_scan, candidate),
+            area_overlap_ratio(ref_scan, candidate),
+            reading_overlap_ratio(ref_scan, candidate),
+            n_con,
+            initial,
+            num_candidates,
+        )

@@ -1,0 +1,106 @@
+"""Native (C++) graph-query library with ctypes bindings.
+
+Compiled on first import (g++ -O3 -shared); falls back to None if no
+toolchain is available — callers keep a pure-Python path.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import tempfile
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "graph_ops.cpp")
+_LIB_PATH = os.path.join(_HERE, "libgraph_ops.so")
+
+_lib = None
+
+
+def _build() -> bool:
+    try:
+        src_mtime = os.path.getmtime(_SRC)
+        if (
+            os.path.exists(_LIB_PATH)
+            and os.path.getmtime(_LIB_PATH) >= src_mtime
+        ):
+            return True
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+             _SRC, "-o", _LIB_PATH],
+            check=True, capture_output=True,
+        )
+        return True
+    except Exception:
+        return False
+
+
+def get_lib():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not _build():
+        return None
+    lib = ctypes.CDLL(_LIB_PATH)
+    i64 = ctypes.c_int64
+    f64 = ctypes.c_double
+    p_f64 = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+    p_i64 = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    p_u8 = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+
+    lib.bfs_within_radius.restype = i64
+    lib.bfs_within_radius.argtypes = [
+        i64, p_f64, p_i64, p_i64, i64, f64, f64, f64, p_u8, p_i64,
+    ]
+    lib.loop_candidate_sweep.restype = i64
+    lib.loop_candidate_sweep.argtypes = [
+        i64, p_f64, p_u8, p_u8, f64, f64, f64, i64,
+        ctypes.POINTER(i64), p_i64,
+    ]
+    lib.radius_query.restype = i64
+    lib.radius_query.argtypes = [i64, p_f64, f64, f64, f64, p_i64]
+    _lib = lib
+    return lib
+
+
+def bfs_within_radius(xy, indptr, indices, start, center, max_distance):
+    """Returns indices (BFS order) of nodes within max_distance reachable
+    through in-radius nodes; None if the native lib is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(xy)
+    visited = np.zeros(n, np.uint8)
+    order = np.zeros(n, np.int64)
+    cnt = lib.bfs_within_radius(
+        n, np.ascontiguousarray(xy, np.float64),
+        np.ascontiguousarray(indptr, np.int64),
+        np.ascontiguousarray(indices, np.int64),
+        int(start), float(center[0]), float(center[1]),
+        float(max_distance) * float(max_distance) - 1e-6,
+        visited, order,
+    )
+    return order[:cnt].copy()
+
+
+def loop_candidate_sweep(
+    xy, present, near_linked, center, max_distance, min_chain, start_idx
+):
+    """Returns (chain_slot_indices, next_start_idx) or None if no lib."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(xy)
+    chain = np.zeros(n, np.int64)
+    s = ctypes.c_int64(int(start_idx))
+    cnt = lib.loop_candidate_sweep(
+        n, np.ascontiguousarray(xy, np.float64),
+        np.ascontiguousarray(present, np.uint8),
+        np.ascontiguousarray(near_linked, np.uint8),
+        float(center[0]), float(center[1]),
+        float(max_distance) * float(max_distance) + 1e-6,
+        int(min_chain), ctypes.byref(s), chain,
+    )
+    return chain[:cnt].copy(), int(s.value)

@@ -1,0 +1,122 @@
+// Native graph query kernels for the pose graph.
+//
+// The reference keeps its whole graph substrate in C++ (MapperGraph +
+// BreadthFirstTraversal, Mapper.cpp:1215-1305; nanoflann KD queries,
+// Mapper.cpp:1837-1912). Here the compute path is JAX, but the per-scan
+// graph traversals are host-side and O(V) in Python — this library hosts
+// them natively: distance-bounded BFS over CSR adjacency and the
+// loop-closure candidate sweep (FindPossibleLoopClosure,
+// Mapper.cpp:1960-2010).
+//
+// Build: g++ -O3 -shared -fPIC graph_ops.cpp -o libgraph_ops.so
+// Bound via ctypes (no pybind11 in this image).
+
+#include <cstdint>
+#include <cstring>
+#include <queue>
+#include <vector>
+
+extern "C" {
+
+// Distance-bounded BFS (BreadthFirstTraversal + NearScanVisitor,
+// Mapper.cpp:1244-1348): explore from `start`, include nodes whose
+// reference position is within sqrt(max_sq) of (cx, cy); expansion only
+// continues through included nodes. Marks visited_out[i]=1 for included
+// nodes and returns their count (order: BFS discovery order written to
+// order_out if non-null).
+int64_t bfs_within_radius(
+    int64_t n,
+    const double* xy,            // (n, 2) reference positions
+    const int64_t* indptr,       // CSR row offsets (n + 1)
+    const int64_t* indices,      // CSR column indices
+    int64_t start,
+    double cx, double cy, double max_sq,
+    uint8_t* visited_out,        // (n,) zeroed by caller
+    int64_t* order_out           // (n,) optional
+) {
+    if (start < 0 || start >= n) return 0;
+    std::vector<uint8_t> seen(static_cast<size_t>(n), 0);
+    std::queue<int64_t> q;
+    q.push(start);
+    seen[start] = 1;
+    int64_t count = 0;
+    while (!q.empty()) {
+        int64_t v = q.front();
+        q.pop();
+        const double dx = xy[2 * v] - cx;
+        const double dy = xy[2 * v + 1] - cy;
+        if (dx * dx + dy * dy <= max_sq) {
+            visited_out[v] = 1;
+            if (order_out) order_out[count] = v;
+            ++count;
+            for (int64_t e = indptr[v]; e < indptr[v + 1]; ++e) {
+                const int64_t u = indices[e];
+                if (!seen[u]) {
+                    seen[u] = 1;
+                    q.push(u);
+                }
+            }
+        }
+    }
+    return count;
+}
+
+// Loop-closure candidate sweep (FindPossibleLoopClosure,
+// Mapper.cpp:1960-2010): walk candidate slots in order; collect those
+// within sqrt(max_sq) of (cx, cy) that are not near-linked; when a
+// candidate leaves the radius, emit the chain if it has >= min_chain.
+// present[i]=0 marks removed scans (skipped). Returns chain length
+// (indices into the slot array written to chain_out) and updates
+// *start_idx to resume the sweep.
+int64_t loop_candidate_sweep(
+    int64_t n_slots,
+    const double* xy,            // (n_slots, 2) candidate positions
+    const uint8_t* present,      // (n_slots,)
+    const uint8_t* near_linked,  // (n_slots,) 1 = graph-connected
+    double cx, double cy, double max_sq,
+    int64_t min_chain,
+    int64_t* start_idx,          // in/out
+    int64_t* chain_out           // (n_slots,)
+) {
+    int64_t chain_len = 0;
+    int64_t i = *start_idx;
+    for (; i < n_slots; ++i) {
+        if (!present[i]) continue;
+        const double dx = xy[2 * i] - cx;
+        const double dy = xy[2 * i + 1] - cy;
+        if (dx * dx + dy * dy < max_sq) {
+            if (near_linked[i]) {
+                chain_len = 0;  // linked scan invalidates the chain
+            } else {
+                chain_out[chain_len++] = i;
+            }
+        } else {
+            if (chain_len >= min_chain) {
+                *start_idx = i + 1;
+                return chain_len;
+            }
+            chain_len = 0;
+        }
+    }
+    *start_idx = i;
+    return chain_len;  // trailing chain (caller applies no min per ref)
+}
+
+// Radius query over all vertices (FindNearByVertices without the KD tree
+// — brute force is faster at these sizes and trivially vectorizes).
+int64_t radius_query(
+    int64_t n,
+    const double* xy,
+    double cx, double cy, double max_sq,
+    int64_t* out_idx
+) {
+    int64_t count = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        const double dx = xy[2 * i] - cx;
+        const double dy = xy[2 * i + 1] - cy;
+        if (dx * dx + dy * dy <= max_sq) out_idx[count++] = i;
+    }
+    return count;
+}
+
+}  // extern "C"

@@ -172,6 +172,101 @@ def solve_pcg(diag, hab, grad, src, dst, free, lm_lambda, cg_iters: int,
     return x
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_nodes", "max_iterations", "cg_iters"),
+)
+def lm_solve(
+    poses, src, dst, rel, sqrt_info, emask, free,
+    initial_lambda, function_tolerance, gradient_tolerance,
+    parameter_tolerance, cg_tol,
+    n_nodes: int, max_iterations: int, cg_iters: int,
+):
+    """Full Levenberg-Marquardt loop on device: one host round-trip per
+    Compute() instead of ~3 per LM iteration."""
+
+    def pcg(diag, hab, grad, lam):
+        eye = jnp.eye(3, dtype=poses.dtype)
+        damp = lam * jnp.einsum("nii->n", diag)[:, None, None] * eye / 3.0
+        diag_d = diag + damp + 1e-8 * eye
+        minv = jnp.linalg.inv(diag_d + 1e-6 * eye)
+        b = grad * free[:, None]
+
+        def mv(x):
+            return _hx(x, diag_d, hab, src, dst, free)
+
+        def prec(r):
+            return jnp.einsum("nij,nj->ni", minv, r) * free[:, None]
+
+        x0 = jnp.zeros_like(b)
+        r0 = b - mv(x0)
+        z0 = prec(r0)
+        rz0 = jnp.sum(r0 * z0)
+        bnorm = jnp.maximum(jnp.sum(b * b), 1e-30)
+
+        def body(state):
+            i, x, r, p, rz = state
+            hp = mv(p)
+            alpha = rz / jnp.maximum(jnp.sum(p * hp), 1e-30)
+            x = x + alpha * p
+            r = r - alpha * hp
+            z = prec(r)
+            rz_new = jnp.sum(r * z)
+            beta = rz_new / jnp.maximum(rz, 1e-30)
+            return i + 1, x, r, z + beta * p, rz_new
+
+        def cond(state):
+            i, _, r, _, _ = state
+            return (i < cg_iters) & (jnp.sum(r * r) > cg_tol * bnorm)
+
+        _, x, _, _, _ = jax.lax.while_loop(cond, body, (0, x0, r0, z0, rz0))
+        return x
+
+    def lm_body(state):
+        it, poses_c, chi2, lam, done = state
+        diag, hab, grad, _ = build_normal_blocks(
+            poses_c, src, dst, rel, sqrt_info, emask, n_nodes=n_nodes
+        )
+        gnorm = jnp.max(jnp.abs(grad * free[:, None]))
+        step = pcg(diag, hab, grad, lam)
+        new_poses = poses_c + step
+        new_poses = new_poses.at[:, 2].set(
+            jnp.arctan2(jnp.sin(new_poses[:, 2]), jnp.cos(new_poses[:, 2]))
+        )
+        new_chi2 = jnp.sum(
+            edge_residual(new_poses, src, dst, rel, sqrt_info, emask) ** 2
+        )
+        accept = new_chi2 <= chi2
+        rel_dec = (chi2 - new_chi2) / jnp.maximum(chi2, 1e-30)
+        step_norm = jnp.max(jnp.abs(step))
+        poses_n = jnp.where(accept, new_poses, poses_c)
+        chi2_n = jnp.where(accept, new_chi2, chi2)
+        lam_n = jnp.where(
+            accept, jnp.maximum(lam * 0.3, 1e-9),
+            jnp.minimum(lam * 10.0, 1e6),
+        )
+        done_n = (
+            (gnorm < gradient_tolerance)
+            | (accept & (rel_dec < function_tolerance))
+            | (accept & (step_norm < parameter_tolerance * 1e-2))
+            | ((~accept) & (lam_n >= 1e6))
+        )
+        return it + 1, poses_n, chi2_n, lam_n, done | done_n
+
+    def lm_cond(state):
+        it, _, _, _, done = state
+        return (it < max_iterations) & (~done)
+
+    chi2_0 = jnp.sum(
+        edge_residual(poses, src, dst, rel, sqrt_info, emask) ** 2
+    )
+    it, poses_out, chi2_out, _, _ = jax.lax.while_loop(
+        lm_cond, lm_body,
+        (0, poses, chi2_0, initial_lambda, jnp.bool_(False)),
+    )
+    return poses_out, chi2_out, it
+
+
 class PoseGraphSolver:
     """Incremental SE(2) pose-graph solver (ScanSolver-equivalent)."""
 
@@ -299,49 +394,19 @@ class PoseGraphSolver:
         if self._first_id in self._id_to_idx:
             free[self._id_to_idx[self._first_id]] = 0.0
 
-        poses_j = jnp.asarray(poses)
-        args = tuple(
-            jnp.asarray(a) for a in (src, dst, rel, sqrt_info, emask)
+        poses_out, chi2_out, iters = lm_solve(
+            jnp.asarray(poses),
+            jnp.asarray(src), jnp.asarray(dst), jnp.asarray(rel),
+            jnp.asarray(sqrt_info), jnp.asarray(emask), jnp.asarray(free),
+            jnp.float32(cfg.initial_lm_lambda),
+            jnp.float32(cfg.function_tolerance),
+            jnp.float32(cfg.gradient_tolerance),
+            jnp.float32(cfg.parameter_tolerance),
+            jnp.float32(cfg.cg_tolerance),
+            n_nodes=n_pad, max_iterations=cfg.max_iterations,
+            cg_iters=cfg.cg_max_iterations,
         )
-        free_j = jnp.asarray(free)
-
-        lam = cfg.initial_lm_lambda
-        chi2 = float(chi2_only(poses_j, *args))
-        for it in range(cfg.max_iterations):
-            diag, hab, grad, _ = build_normal_blocks(
-                poses_j, *args, n_nodes=n_pad
-            )
-            gnorm = float(jnp.max(jnp.abs(grad * free_j[:, None])))
-            if gnorm < cfg.gradient_tolerance:
-                break
-            step = solve_pcg(
-                diag, hab, grad, args[0], args[1], free_j,
-                jnp.float32(lam), cfg.cg_max_iterations,
-                jnp.float32(cfg.cg_tolerance),
-            )
-            new_poses = poses_j + step
-            # wrap headings
-            new_poses = new_poses.at[:, 2].set(
-                jnp.arctan2(jnp.sin(new_poses[:, 2]), jnp.cos(new_poses[:, 2]))
-            )
-            new_chi2 = float(chi2_only(new_poses, *args))
-            if new_chi2 <= chi2:
-                rel_decrease = (chi2 - new_chi2) / max(chi2, 1e-30)
-                step_norm = float(jnp.max(jnp.abs(step)))
-                poses_j = new_poses
-                chi2 = new_chi2
-                lam = max(lam * 0.3, 1e-9)
-                if (
-                    rel_decrease < cfg.function_tolerance
-                    or step_norm < cfg.parameter_tolerance * 1e-2
-                ):
-                    break
-            else:
-                lam = min(lam * 10.0, 1e6)
-                if lam >= 1e6:
-                    break
-
-        result = np.asarray(poses_j[:n], dtype=np.float64)
+        result = np.asarray(poses_out[:n], dtype=np.float64)
         self.corrections = [
             (node_id, result[i].copy()) for i, node_id in enumerate(self._ids)
         ]
