@@ -157,6 +157,37 @@ class Matcher:
         self._fine_angle_res = self.fine_angle_offset
         self._na_fine = int(np.floor(
             self._fine_angle_offset * 2.0 / self._fine_angle_res + 0.5)) + 1
+        # fused jitted matcher with all configuration baked as constants;
+        # runtime args: pts, valid, center_off(5,), local_pts, finite
+        self._fused = {}
+        for pen in (False, True):
+            for refine in (False, True):
+                self._fused[(pen, refine)] = jax.jit(
+                    functools.partial(
+                        _match_full_impl,
+                        x_off_c=jnp.asarray(self._xy_coarse, jnp.float32),
+                        y_off_c=jnp.asarray(self._xy_coarse, jnp.float32),
+                        x_off_f=jnp.asarray(self._xy_fine, jnp.float32),
+                        y_off_f=jnp.asarray(self._xy_fine, jnp.float32),
+                        scale=np.float32(self.scale),
+                        sigma_cells=np.float32(self.sigma_cells),
+                        coarse_angle_offset=np.float32(
+                            self.coarse_angle_offset),
+                        coarse_angle_res=np.float32(
+                            self.coarse_angle_resolution),
+                        fine_angle_offset=np.float32(
+                            self._fine_angle_offset),
+                        fine_angle_res=np.float32(self._fine_angle_res),
+                        penalize=pen,
+                        dist_var_penalty=self.penalty_params[0],
+                        ang_var_penalty=self.penalty_params[1],
+                        min_dist_pen=self.penalty_params[2],
+                        min_ang_pen=self.penalty_params[3],
+                        grid_size=self.G, half_kernel=self.half_kernel,
+                        na_coarse=self._na_coarse, na_fine=self._na_fine,
+                        refine=refine,
+                    )
+                )
 
     # -- raster construction ------------------------------------------------
     def build_grid(self, base_scans, viewpoint_pose: np.ndarray):
@@ -215,36 +246,18 @@ class Matcher:
         expansion."""
         if not exact:
             center = np.asarray(scan.sensor_pose, dtype=np.float64)
-            off = np.asarray(
-                center[:2] - 0.5 * (self.G - 1) * self.resolution,
-                dtype=np.float64,
-            )
+            off = center[:2] - 0.5 * (self.G - 1) * self.resolution
             pts_p, valid_p = self._base_points(base_scans, center[:2])
-            local_pts = np.ascontiguousarray(
-                scan.local_points, dtype=np.float32
-            )
-            local_pts = np.nan_to_num(local_pts, nan=0.0)
-            finite = np.isfinite(scan.ranges)
-            packed = _match_full(
+            local_dev, finite_dev = _scan_device_cache(scan)
+            center_off = np.concatenate([center, off]).astype(np.float32)
+            packed = self._fused[(penalize, refine)](
                 jnp.asarray(pts_p), jnp.asarray(valid_p),
-                jnp.asarray(off, jnp.float32),
-                jnp.asarray(center, jnp.float32),
-                jnp.asarray(local_pts), jnp.asarray(finite),
-                jnp.asarray(self._xy_coarse, jnp.float32),
-                jnp.asarray(self._xy_coarse, jnp.float32),
-                jnp.asarray(self._xy_fine, jnp.float32),
-                jnp.asarray(self._xy_fine, jnp.float32),
-                jnp.float32(self.scale), jnp.float32(self.sigma_cells),
-                jnp.float32(self.coarse_angle_offset),
-                jnp.float32(self.coarse_angle_resolution),
-                jnp.float32(self._fine_angle_offset),
-                jnp.float32(self._fine_angle_res),
-                jnp.bool_(penalize),
-                *self.penalty_params,
-                grid_size=self.G, half_kernel=self.half_kernel,
-                na_coarse=self._na_coarse, na_fine=self._na_fine,
-                refine=refine,
+                jnp.asarray(center_off), local_dev, finite_dev,
             )
+            # sync before fetching: the PJRT tunnel's fetch path backs off
+            # hard when the result is not yet ready (~150 ms), while
+            # waiting for completion is sub-ms and a ready fetch ~5 ms
+            packed.block_until_ready()
             packed = np.asarray(packed, np.float64)
             best = float(packed[0])
             if best <= KT_TOLERANCE and self.use_response_expansion:
@@ -462,20 +475,14 @@ def _angular_cov(grid_flat, G, sink, offset, scale, d_fine, finite,
                      1000.0 * angle_step**2)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("grid_size", "half_kernel", "na_coarse", "na_fine",
-                     "refine"),
-)
-def _match_full(
+def _match_full_impl(
     pts,          # (P,2) f32 base-scan world points
     valid,        # (P,)
-    offset,       # (2,)
-    center,       # (3,) coarse search-center sensor pose
+    center_off,   # (5,) [center_x, center_y, center_h, offset_x, offset_y]
     local_pts,    # (B,2)
     finite,       # (B,)
-    x_off_c, y_off_c,          # coarse candidate offsets
-    x_off_f, y_off_f,          # fine candidate offsets
+    x_off_c, y_off_c,          # coarse candidate offsets (constants)
+    x_off_f, y_off_f,          # fine candidate offsets (constants)
     scale, sigma_cells,
     coarse_angle_offset, coarse_angle_res,
     fine_angle_offset, fine_angle_res,
@@ -486,8 +493,12 @@ def _match_full(
 ):
     """Fused single-call match: rasterize + smear + quantize + coarse pass +
     (optional) fine pass + covariances, entirely on device. One host
-    round-trip per MatchScan instead of four."""
+    round-trip per MatchScan instead of four; config scalars are baked in
+    as compile-time constants by the Matcher (tunnel dispatch overhead
+    scales with the argument count)."""
     G = grid_size
+    center = center_off[:3]
+    offset = center_off[3:5]
     grid = rz.rasterize_smear(
         pts, valid, offset, scale, sigma_cells, G, half_kernel
     )
@@ -597,6 +608,24 @@ def _quantize_pad(grid):
 
 def _normalize(a: float) -> float:
     return float(np.arctan2(np.sin(a), np.cos(a)))
+
+
+def _scan_device_cache(scan):
+    """Device-resident (local_pts, finite) for a scan — pose-independent,
+    uploaded once per scan and reused across its sequential/loop matches."""
+    cached = getattr(scan, "_dev_local", None)
+    if cached is not None:
+        return cached
+    local_pts = np.nan_to_num(
+        np.ascontiguousarray(scan.local_points, dtype=np.float32), nan=0.0
+    )
+    finite = np.isfinite(scan.ranges)
+    out = (jnp.asarray(local_pts), jnp.asarray(finite))
+    try:
+        scan._dev_local = out
+    except AttributeError:
+        pass
+    return out
 
 
 def _fvp_structure(scan):

@@ -406,6 +406,7 @@ class PoseGraphSolver:
             n_nodes=n_pad, max_iterations=cfg.max_iterations,
             cg_iters=cfg.cg_max_iterations,
         )
+        poses_out.block_until_ready()  # see match.py: fetch-backoff
         result = np.asarray(poses_out[:n], dtype=np.float64)
         self.corrections = [
             (node_id, result[i].copy()) for i, node_id in enumerate(self._ids)
