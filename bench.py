@@ -55,6 +55,9 @@ def main():
         distance_variance_penalty=0.5, angle_variance_penalty=1.0,
     )
     sess = SlamSession(cfg, laser)
+    t_w = time.time()
+    sess.warm_all()
+    print(f"# warm_all {time.time()-t_w:.0f}s", file=sys.stderr, flush=True)
 
     warmup = 20
     n = 0

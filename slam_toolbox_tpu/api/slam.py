@@ -221,6 +221,64 @@ class SlamSession:
         self.last_scan_odom = None
         self.last_scan_time = -np.inf
 
+    def warm_all(self) -> None:
+        """Pre-compile every kernel variant the session can hit (matcher
+        raster/score variants across point buckets, the loop matcher, and
+        the solver), so steady-state throughput is compile-free. On the
+        tunneled TPU each executable compiles remotely (~15 s each) and
+        no persistent cache exists, so cold sessions otherwise stall
+        mid-run."""
+        import jax.numpy as jnp
+
+        from slam_toolbox_tpu.core.scan import LocalizedScan
+
+        if self.laser is None:
+            return
+        if not self.mapper.initialized:
+            self.mapper.initialize(self.laser.range_threshold)
+        B = self.laser.n_beams
+        ranges = np.full(B, 2.0)
+        dummy = LocalizedScan(self.laser, ranges, np.zeros(3))
+        base = [
+            LocalizedScan(self.laser, ranges, np.zeros(3))
+            for _ in range(2)
+        ]
+        cfgs = [
+            (self.mapper.sequential_matcher, True, True),
+            (self.mapper.sequential_matcher, False, True),
+            (self.mapper.loop_matcher, False, False),
+        ]
+        buckets = [1024]
+        p = 1024
+        cap = max(2048, self.config.scan_buffer_size * B)
+        while p < cap:
+            p <<= 1
+            buckets.append(p)
+        for matcher, pen, refine in cfgs:
+            for bucket in buckets:
+                n_scans = max(bucket // B, 1)
+                while len(base) < n_scans:
+                    base.append(
+                        LocalizedScan(self.laser, ranges, np.zeros(3))
+                    )
+                group = base[:n_scans]
+                # force this bucket exactly
+                total = n_scans * B
+                if not (bucket // 2 < total <= bucket):
+                    continue
+                matcher.match_scan(
+                    dummy, group, penalize=pen, refine=refine
+                )
+        # solver (one tiny graph per pad bucket it will start from)
+        from slam_toolbox_tpu.solver import PoseGraphSolver
+
+        s = PoseGraphSolver(self.config.solver)
+        for i in range(3):
+            s.add_node(i, [float(i), 0.0, 0.0])
+        s.add_constraint(0, 1, [1, 0, 0], np.eye(3) * 1e-3)
+        s.add_constraint(1, 2, [1, 0, 0], np.eye(3) * 1e-3)
+        s.compute()
+
     # -- graph access for visualization / manual closure --------------------
     def get_graph(self):
         return self.mapper.solver.get_graph()

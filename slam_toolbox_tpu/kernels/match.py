@@ -157,20 +157,41 @@ class Matcher:
         self._fine_angle_res = self.fine_angle_offset
         self._na_fine = int(np.floor(
             self._fine_angle_offset * 2.0 / self._fine_angle_res + 0.5)) + 1
-        # fused jitted matcher with all configuration baked as constants;
-        # runtime args: pts, valid, center_off(5,), local_pts, finite
-        self._fused = {}
+        # two-program match pipeline with configuration baked as constants;
+        # chained asynchronously on device (see _raster_quant_impl).
+        # Coarse scoring uses the Pallas window kernel when the candidate
+        # count fits a lane block and the parity grid fits VMEM.
+        from slam_toolbox_tpu.kernels import match_pallas as mp
+
+        n_cand = len(self._xy_coarse)
+        self._acc_r = mp.acc_rows(n_cand)
+        hp, wp = mp.parity_dims(self.G, self._acc_r)
+        vmem_est = 4 * hp * wp + 32 * (self._acc_r + 32) * 128 * 4
+        self.use_pallas = (
+            n_cand <= 128
+            and vmem_est < 12 * 2**20
+            and jax.default_backend() == "tpu"
+        )
+        self._raster_jit = jax.jit(
+            functools.partial(
+                _raster_quant_impl,
+                scale=np.float32(self.scale),
+                sigma_cells=np.float32(self.sigma_cells),
+                grid_size=self.G, half_kernel=self.half_kernel,
+                acc_r=self._acc_r, parity=self.use_pallas,
+            )
+        )
+        self._score_jit = {}
         for pen in (False, True):
             for refine in (False, True):
-                self._fused[(pen, refine)] = jax.jit(
+                self._score_jit[(pen, refine)] = jax.jit(
                     functools.partial(
-                        _match_full_impl,
+                        _score_impl,
                         x_off_c=jnp.asarray(self._xy_coarse, jnp.float32),
                         y_off_c=jnp.asarray(self._xy_coarse, jnp.float32),
                         x_off_f=jnp.asarray(self._xy_fine, jnp.float32),
                         y_off_f=jnp.asarray(self._xy_fine, jnp.float32),
                         scale=np.float32(self.scale),
-                        sigma_cells=np.float32(self.sigma_cells),
                         coarse_angle_offset=np.float32(
                             self.coarse_angle_offset),
                         coarse_angle_res=np.float32(
@@ -183,9 +204,9 @@ class Matcher:
                         ang_var_penalty=self.penalty_params[1],
                         min_dist_pen=self.penalty_params[2],
                         min_ang_pen=self.penalty_params[3],
-                        grid_size=self.G, half_kernel=self.half_kernel,
+                        grid_size=self.G,
                         na_coarse=self._na_coarse, na_fine=self._na_fine,
-                        refine=refine,
+                        refine=refine, acc_r=self._acc_r,
                     )
                 )
 
@@ -250,9 +271,13 @@ class Matcher:
             pts_p, valid_p = self._base_points(base_scans, center[:2])
             local_dev, finite_dev = _scan_device_cache(scan)
             center_off = np.concatenate([center, off]).astype(np.float32)
-            packed = self._fused[(penalize, refine)](
+            grid_dev, pgrid_dev = self._raster_jit(
                 jnp.asarray(pts_p), jnp.asarray(valid_p),
-                jnp.asarray(center_off), local_dev, finite_dev,
+                jnp.asarray(center_off[3:5]),
+            )
+            packed = self._score_jit[(penalize, refine)](
+                grid_dev, pgrid_dev, jnp.asarray(center_off),
+                local_dev, finite_dev,
             )
             # sync before fetching: the PJRT tunnel's fetch path backs off
             # hard when the result is not yet ready (~150 ms), while
@@ -475,36 +500,58 @@ def _angular_cov(grid_flat, G, sink, offset, scale, d_fine, finite,
                      1000.0 * angle_step**2)
 
 
-def _match_full_impl(
-    pts,          # (P,2) f32 base-scan world points
-    valid,        # (P,)
+def _raster_quant_impl(
+    pts, valid, offset, scale, sigma_cells,
+    grid_size: int, half_kernel: int, acc_r: int, parity: bool,
+):
+    """Raster + smear + int8 quantize; returns (flat grid with zero sink
+    cell, parity-split grid for the Pallas scorer or None).
+
+    Kept as its OWN XLA program: compiling the scatter/smear producer and
+    the scoring gathers into one module makes XLA's fusion planner blow up
+    (compile minutes, ~150 ms/run vs ~1 ms split). The match pipeline
+    chains the programs asynchronously on device — no host sync between —
+    so the split costs only a dispatch."""
+    grid = rz.rasterize_smear(
+        pts, valid, offset, scale, sigma_cells, grid_size, half_kernel
+    )
+    q2d = rz.round_half_away(grid * 100.0).astype(jnp.int8)
+    q = q2d.reshape(-1)
+    flat = jnp.concatenate([q, jnp.zeros((1,), jnp.int8)])
+    if not parity:
+        return flat, None
+    from slam_toolbox_tpu.kernels import match_pallas as mp
+
+    return flat, mp.prepare_parity_grid(q2d, acc_r)
+
+
+def _score_impl(
+    grid_flat,    # (G*G+1,) int8 from _raster_quant_impl
+    pgrid,        # (4, HP, WP) int8 parity grid, or None (XLA path)
     center_off,   # (5,) [center_x, center_y, center_h, offset_x, offset_y]
     local_pts,    # (B,2)
     finite,       # (B,)
     x_off_c, y_off_c,          # coarse candidate offsets (constants)
     x_off_f, y_off_f,          # fine candidate offsets (constants)
-    scale, sigma_cells,
+    scale,
     coarse_angle_offset, coarse_angle_res,
     fine_angle_offset, fine_angle_res,
     penalize,
     dist_var_penalty, ang_var_penalty, min_dist_pen, min_ang_pen,
-    grid_size: int, half_kernel: int, na_coarse: int, na_fine: int,
-    refine: bool,
+    grid_size: int, na_coarse: int, na_fine: int,
+    refine: bool, acc_r: int = 32,
 ):
-    """Fused single-call match: rasterize + smear + quantize + coarse pass +
-    (optional) fine pass + covariances, entirely on device. One host
-    round-trip per MatchScan instead of four; config scalars are baked in
-    as compile-time constants by the Matcher (tunnel dispatch overhead
-    scales with the argument count)."""
+    """Coarse pass + (optional) fine pass + covariances on a prebuilt
+    raster; returns the packed 13-float result.
+
+    The coarse candidate tensor is scored by the Pallas window kernel when
+    a parity grid is provided (coarse candidates are a stride-2 lattice);
+    the tiny fine/angular passes stay on the XLA gather path."""
     G = grid_size
     center = center_off[:3]
     offset = center_off[3:5]
-    grid = rz.rasterize_smear(
-        pts, valid, offset, scale, sigma_cells, G, half_kernel
-    )
-    q = rz.round_half_away(grid * 100.0).astype(jnp.int8).reshape(-1)
-    grid_flat = jnp.concatenate([q, jnp.zeros((1,), jnp.int8)])
     sink = G * G
+    B = local_pts.shape[0]
 
     # coarse pass
     ang_c = (
@@ -519,12 +566,36 @@ def _match_full_impl(
     cand_y = rz.round_half_away(
         (center[1] + y_off_c - offset[1]) * scale
     ).astype(jnp.int32)
-    resp_c = _score_tensor(
-        grid_flat, G, sink, cand_x, cand_y, d_c, finite,
-        x_off_c, y_off_c, ang_c, center[2],
-        penalize, dist_var_penalty, ang_var_penalty,
-        min_dist_pen, min_ang_pen,
-    )
+    if pgrid is not None:
+        from slam_toolbox_tpu.kernels import match_pallas as mp
+
+        ny, nx = y_off_c.shape[0], x_off_c.shape[0]
+        tbl = mp.prepare_tables(
+            d_c, cand_x[0], cand_y[0], finite, G, acc_r
+        )
+        sums = mp.score_windows(pgrid, tbl, acc_r=acc_r)
+        raw = sums[:, :ny, :nx].astype(jnp.float32) / (
+            jnp.float32(B) * 100.0
+        )
+        sq_xy = y_off_c[:, None] ** 2 + x_off_c[None, :] ** 2
+        dist_pen = jnp.maximum(
+            1.0 - 0.2 * sq_xy / dist_var_penalty, min_dist_pen
+        )
+        sq_ang = (ang_c - center[2]) ** 2
+        ang_pen = jnp.maximum(
+            1.0 - 0.2 * sq_ang / ang_var_penalty, min_ang_pen
+        )
+        pen = dist_pen[None, :, :] * ang_pen[:, None, None]
+        resp_c = jnp.where(
+            penalize & (jnp.abs(raw) > KT_TOLERANCE), raw * pen, raw
+        )
+    else:
+        resp_c = _score_tensor(
+            grid_flat, G, sink, cand_x, cand_y, d_c, finite,
+            x_off_c, y_off_c, ang_c, center[2],
+            penalize, dist_var_penalty, ang_var_penalty,
+            min_dist_pen, min_ang_pen,
+        )
     best_c, mean_c = _tie_average(
         resp_c, center[0] + x_off_c, center[1] + y_off_c, ang_c
     )

@@ -1,0 +1,169 @@
+"""Pallas TPU kernel for the coarse correlative-match scoring pass.
+
+Why: XLA lowers the (na, B, ny, nx) scoring gather to ~100M scalar
+gathers/s on TPU (~145 ms per match at the online-sync workload). This
+kernel restructures the memory access: coarse candidates sit on a stride-2
+cell lattice, so the raster is parity-split into 4 subgrids in which each
+beam's candidate window is a *contiguous* block; the kernel keeps the
+subgrids resident in VMEM and performs one aligned (64, 128) vector read
+per (angle, beam) instead of ~700 scalar gathers.
+
+Mosaic requires sublane-aligned dynamic row offsets, so reads are aligned
+down to a multiple of 32 rows and accumulated into one of 32 row-phase
+accumulators; the phases are recombined with static shifts after the beam
+loop (static sub-tile slices are legal).
+
+Layout contract (prepare_parity_grid / prepare_tables, both plain XLA):
+  - parity grid (4, HP, WP) int8 with zero borders sized so any clamped
+    window read lands in zeros — out-of-grid cells contribute 0 exactly
+    like the reference's per-cell bounds skip (Mapper.cpp:1190-1198);
+  - per-(angle, beam) descriptor table (na, B, 4) int32, SMEM-blocked:
+    [parity 0..3, row (phase-unaligned), col, valid 0/1].
+
+Output: (na, 32, 128) int32 window sums; callers slice [:, :ny, :nx].
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+ACC_C = 128              # output window lanes (nx <= 128 usable)
+READ_C = 256             # aligned read lanes: ACC_C + 128-lane phase slack
+N_PHASE = 32
+PAD_TOP = 32
+PAD_LEFT, PAD_RIGHT = 128, 288
+
+
+def acc_rows(ny: int) -> int:
+    """Output rows padded to the 32-sublane int8 tile."""
+    return _round_up(max(ny, 1), 32)
+
+
+def _round_up(x, m):
+    return ((x + m - 1) // m) * m
+
+
+def pad_bottom(acc_r: int) -> int:
+    return acc_r + 2 * N_PHASE
+
+
+def parity_dims(G: int, acc_r: int = 32):
+    gh = (G + 1) // 2
+    hp = _round_up(PAD_TOP + gh + pad_bottom(acc_r), 32)
+    wp = _round_up(PAD_LEFT + gh + PAD_RIGHT, 128)
+    return hp, wp
+
+
+def _make_score_kernel(acc_r: int):
+    read_r = acc_r + N_PHASE
+
+    def _score_kernel(tbl_ref, pgrid_ref, out_ref, acc_ref):
+        B = tbl_ref.shape[2]
+        acc_ref[...] = jnp.zeros((N_PHASE, read_r, ACC_C), jnp.int32)
+
+        def body(b, _):
+            p = tbl_ref[0, 0, b]
+            r = tbl_ref[0, 1, b]
+            c = tbl_ref[0, 2, b]
+            v = tbl_ref[0, 3, b]
+            ra = pl.multiple_of((r // N_PHASE) * N_PHASE, N_PHASE)
+            phi = r - ra
+            ca = pl.multiple_of((c // ACC_C) * ACC_C, ACC_C)
+            phic = c - ca
+            w2 = pgrid_ref[p, pl.ds(ra, read_r), pl.ds(ca, READ_C)]
+            # Mosaic's dynamic rotate needs 32-bit data: widen, then
+            # left-rotate lanes by phic so the window starts at lane 0
+            w2 = w2.astype(jnp.int32)
+            w2 = pltpu.roll(w2, (READ_C - phic) % READ_C, axis=1)
+            w = w2[:, :ACC_C]
+            acc_ref[pl.ds(phi, 1)] += (w * v)[None]
+            return 0
+
+        jax.lax.fori_loop(0, B, body, 0)
+
+        out = jnp.zeros((acc_r, ACC_C), jnp.int32)
+        for phi in range(N_PHASE):  # static recombination shifts
+            out = out + acc_ref[phi, phi:phi + acc_r, :]
+        out_ref[0] = out
+
+    return _score_kernel
+
+
+@functools.partial(jax.jit, static_argnames=("acc_r", "interpret"))
+def score_windows(pgrid, tbl, acc_r: int = 32, interpret: bool = False):
+    """pgrid: (4, HP, WP) int8 (padded for this acc_r);
+    tbl: (na, 4, B) int32 -> (na, acc_r, 128) int32 window sums."""
+    na, _, B = tbl.shape
+    read_r = acc_r + N_PHASE
+    return pl.pallas_call(
+        _make_score_kernel(acc_r),
+        grid=(na,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 4, B), lambda a: (a, 0, 0),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, acc_r, ACC_C), lambda a: (a, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((na, acc_r, ACC_C), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((N_PHASE, read_r, ACC_C), jnp.int32)
+        ],
+        interpret=interpret,
+    )(tbl, pgrid)
+
+
+def prepare_parity_grid(grid2d, acc_r: int = 32):
+    """(G, G) int8 -> (4, HP, WP) int8 parity-split with zero borders.
+    Subgrid p = 2*(row&1) + (col&1) holds cell (2q+pr, 2t+pc) at
+    (q + PAD_TOP, t + PAD_LEFT)."""
+    G = grid2d.shape[0]
+    gh = (G + 1) // 2
+    hp, wp = parity_dims(G, acc_r)
+    gpad = jnp.zeros((2 * gh, 2 * gh), jnp.int8)
+    gpad = jax.lax.dynamic_update_slice(gpad, grid2d, (0, 0))
+    sub = gpad.reshape(gh, 2, gh, 2).transpose(1, 3, 0, 2).reshape(
+        4, gh, gh
+    )
+    out = jnp.zeros((4, hp, wp), jnp.int8)
+    return jax.lax.dynamic_update_slice(out, sub, (0, PAD_TOP, PAD_LEFT))
+
+
+def prepare_tables(d, cand_x0, cand_y0, finite, G: int, acc_r: int = 32):
+    """Window descriptors. d: (na, B, 2) int32 rotated offsets [dx, dy];
+    cand_*0: first candidate cell (scalars); finite: (B,) bool.
+
+    Window base = (dy + cand_y0, dx + cand_x0) in full-grid cells; rows and
+    cols are floor-halved into subgrid coords and shifted by the pads.
+    Clamped coordinates land in the zero border, so escaped windows
+    contribute 0."""
+    hp, wp = parity_dims(G, acc_r)
+    read_r = acc_r + N_PHASE
+    pad_bot = pad_bottom(acc_r)
+    r0 = d[:, :, 1] + cand_y0
+    c0 = d[:, :, 0] + cand_x0
+    parity = 2 * (r0 & 1) + (c0 & 1)
+    r = (r0 >> 1) + PAD_TOP   # arithmetic shift = floor for negatives
+    c = (c0 >> 1) + PAD_LEFT
+    # keep aligned reads inside the array; border rows/cols are zero
+    r = jnp.clip(r, 0, hp - read_r - 1)
+    c = jnp.clip(c, 0, wp - READ_C - 1)
+    # beams clamped from far outside: reads land fully in the border
+    # only if the clamp region is zero — guarantee by invalidating them
+    in_range = (
+        (r0 >= -2 * PAD_TOP) & (r0 < G + 2 * (pad_bot - read_r))
+        & (c0 >= -2 * PAD_LEFT) & (c0 < G + 2 * (PAD_RIGHT - READ_C))
+    )
+    v = (finite[None, :] & in_range).astype(jnp.int32)
+    # (na, 4, B): SMEM pads the trailing dim to full lanes, so keep the
+    # long beam axis last
+    return jnp.stack([parity, r, c, v], axis=1).astype(jnp.int32)

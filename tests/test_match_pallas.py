@@ -1,0 +1,59 @@
+"""Pallas coarse-score kernel vs the XLA scalar-gather reference."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from slam_toolbox_tpu.kernels import match_pallas as mp
+from slam_toolbox_tpu.kernels.match import _score_tensor
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_score_windows_matches_scalar_gather(seed):
+    rng = np.random.default_rng(seed)
+    G, B, na, nxy = 257, 97, 5, 26
+    grid2d = rng.integers(0, 101, (G, G)).astype(np.int8)
+    grid_flat = np.concatenate(
+        [grid2d.reshape(-1), np.zeros(1, np.int8)]
+    )
+    # candidate lattice: stride 2 starting at cand0
+    cand0 = 31
+    cand = (cand0 + 2 * np.arange(nxy)).astype(np.int32)
+    d = rng.integers(-140, 140, (na, B, 2)).astype(np.int32)
+    finite = rng.random(B) > 0.1
+
+    # XLA reference: raw (unpenalized) response sums
+    resp_ref = _score_tensor(
+        jnp.asarray(grid_flat), G, G * G,
+        jnp.asarray(cand), jnp.asarray(cand), jnp.asarray(d),
+        jnp.asarray(finite),
+        jnp.zeros(nxy, jnp.float32), jnp.zeros(nxy, jnp.float32),
+        jnp.zeros(na, jnp.float32), jnp.float32(0.0),
+        jnp.bool_(False),
+        jnp.float32(1.0), jnp.float32(1.0),
+        jnp.float32(0.5), jnp.float32(0.9),
+    )
+    sum_ref = np.asarray(resp_ref) * (B * 100.0)  # undo normalization
+
+    pgrid = mp.prepare_parity_grid(jnp.asarray(grid2d))
+    tbl = mp.prepare_tables(
+        jnp.asarray(d), np.int32(cand0), np.int32(cand0),
+        jnp.asarray(finite), G,
+    )
+    out = mp.score_windows(pgrid, tbl, interpret=True)
+    sums = np.asarray(out)[:, :nxy, :nxy].astype(np.float64)
+    np.testing.assert_allclose(sums, np.round(sum_ref), atol=0.5)
+
+
+def test_prepare_tables_negative_coords():
+    """Negative base cells must keep floor/parity semantics."""
+    d = np.array([[[-3, -5]]], np.int32)  # dx=-3, dy=-5
+    tbl = np.asarray(mp.prepare_tables(
+        jnp.asarray(d), np.int32(0), np.int32(0),
+        jnp.asarray(np.array([True])), 101,
+    ))
+    p, r, c, v = tbl[0, :, 0]  # layout (na, 4, B)
+    assert p == 2 * 1 + 1  # row -5 odd, col -3 odd
+    assert r == -3 + mp.PAD_TOP  # floor(-5/2) = -3
+    assert c == -2 + mp.PAD_LEFT
+    assert v == 1
