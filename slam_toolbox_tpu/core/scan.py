@@ -59,7 +59,7 @@ class LocalizedScan:
     __slots__ = (
         "laser", "ranges", "odom_pose", "corrected_pose", "time",
         "state_id", "unique_id", "_points", "_valid", "_barycenter", "_bbox",
-        "_fvp", "_dev_local",
+        "_fvp", "_dev_local", "_stream_arrays",
     )
 
     def __init__(self, laser: LaserConfig, ranges, odom_pose, time: float = 0.0):
@@ -76,6 +76,7 @@ class LocalizedScan:
         self._bbox = None
         self._fvp = None
         self._dev_local = None
+        self._stream_arrays = None
 
     # -- pose accessors (Karto.h:5536-5596) --------------------------------
     @property

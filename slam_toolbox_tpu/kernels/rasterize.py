@@ -93,6 +93,11 @@ def find_valid_points_structure(points: np.ndarray):
       next_delim: (B,) for each point, index into delim arrays of the
                   delimiter that flushes it, or -1 if never flushed.
     """
+    from slam_toolbox_tpu import native
+
+    out = native.fvp_structure(points)
+    if out is not None:
+        return out
     B = len(points)
     finite = np.isfinite(points).all(axis=1)
     delim_idx, anchors = [], []

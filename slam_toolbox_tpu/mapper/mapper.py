@@ -147,18 +147,27 @@ class Mapper:
         if covariance_out is not None:
             covariance_out[:] = cov
 
-        sm.add_scan(scan)
+        self.finish_scan(scan, cov)
+        return True
 
+    def finish_scan(self, scan, cov) -> bool:
+        """Post-match bookkeeping shared with the streaming pipeline:
+        register the scan, grow the graph, update the running buffer, and
+        attempt loop closure (the tail of Process, Mapper.cpp:2724-2743).
+        Returns True if a loop closure fired (poses moved globally)."""
+        sm = self.sensor_manager
+        closed = False
+        sm.add_scan(scan)
         if self.config.use_scan_matching:
             self.graph.add_vertex(scan)
             self.graph.add_edges(scan, cov)
             sm.add_running_scan(scan)
             if self.config.do_loop_closing:
                 for name in sm.sensor_names():
-                    self.graph.try_close_loop(scan, name)
-
+                    if self.graph.try_close_loop(scan, name):
+                        closed = True
         sm.set_last_scan(scan)
-        return True
+        return closed
 
     # -- resume / relocalize entry points -----------------------------------
     def process_against_node(

@@ -61,8 +61,25 @@ def get_lib():
     ]
     lib.radius_query.restype = i64
     lib.radius_query.argtypes = [i64, p_f64, f64, f64, f64, p_i64]
+    lib.fvp_structure.restype = i64
+    lib.fvp_structure.argtypes = [i64, p_f64, p_i64, p_f64, p_i64]
     _lib = lib
     return lib
+
+
+def fvp_structure(points):
+    """Native FindValidPoints structure; returns
+    (delim_idx (D,), anchors (D,2), next_delim (B,)) or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    pts = np.ascontiguousarray(points, np.float64)
+    n = len(pts)
+    delim_idx = np.zeros(n, np.int64)
+    anchors = np.zeros((n, 2), np.float64)
+    next_delim = np.zeros(n, np.int64)
+    d = lib.fvp_structure(n, pts, delim_idx, anchors, next_delim)
+    return delim_idx[:d].copy(), anchors[:d].copy(), next_delim
 
 
 def bfs_within_radius(xy, indptr, indices, start, center, max_distance):

@@ -119,4 +119,50 @@ int64_t radius_query(
     return count;
 }
 
+// Viewpoint-independent structure of ScanMatcher::FindValidPoints
+// (Mapper.cpp:1113-1164): walk the beam endpoints keeping a trailing
+// anchor; every time the current point is > 0.1 m from the anchor, emit a
+// delimiter (anchor recorded) and advance. Returns the delimiter count D;
+// fills delim_idx (D), anchors (D,2) and next_delim (n) — the delimiter
+// that flushes each point, or -1.
+int64_t fvp_structure(
+    int64_t n,
+    const double* xy,          // (n, 2) beam endpoints (local or world)
+    int64_t* delim_idx,        // (n,)
+    double* anchors,           // (n, 2)
+    int64_t* next_delim        // (n,)
+) {
+    double ax = 0.0, ay = 0.0;
+    bool have_anchor = false;
+    int64_t d = 0;
+    int64_t prev = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        next_delim[i] = -1;
+        const double px = xy[2 * i];
+        const double py = xy[2 * i + 1];
+        const bool finite =
+            px == px && py == py &&
+            px - px == 0.0 && py - py == 0.0;  // not NaN/inf
+        if (!have_anchor) {
+            if (finite) {
+                ax = px; ay = py;
+                have_anchor = true;
+            }
+            continue;
+        }
+        const double dx = ax - px;
+        const double dy = ay - py;
+        if (dx * dx + dy * dy > 0.01) {  // (0.1 m)^2, strict >
+            delim_idx[d] = i;
+            anchors[2 * d] = ax;
+            anchors[2 * d + 1] = ay;
+            for (int64_t j = prev; j < i; ++j) next_delim[j] = d;
+            prev = i;
+            ax = px; ay = py;
+            ++d;
+        }
+    }
+    return d;
+}
+
 }  // extern "C"
