@@ -28,6 +28,7 @@ class SolverConfig:
     cg_tolerance: float = 1e-8
     initial_lm_lambda: float = 1e-4
     use_double: bool = True           # solve in f64 on host-backed path
+    dist_edge_threshold: int = 4096   # edges before the sharded solve kicks in
 
 
 @dataclass(frozen=True)

@@ -98,10 +98,14 @@ def make_distributed_gn_step(mesh: Mesh, n_nodes: int, cg_iters: int = 50):
             hp = mv(p)
             alpha = rz / jnp.maximum(jnp.sum(p * hp), 1e-30)
             x = x + alpha * p
-            r = r - alpha * hp
+            # periodic true-residual restart against f32 recurrence drift
+            restart = (i % 64) == 63
+            r = jnp.where(restart, b - mv(x), r - alpha * hp)
             z = prec(r)
             rz_new = jnp.sum(r * z)
-            beta = rz_new / jnp.maximum(rz, 1e-30)
+            beta = jnp.where(
+                restart, 0.0, rz_new / jnp.maximum(rz, 1e-30)
+            )
             return i + 1, x, r, z + beta * p, rz_new
 
         def cond(state):
@@ -143,7 +147,8 @@ def distributed_lm_solve(
     e = len(src)
     assert e % n_dev == 0, "pad edges to a multiple of the mesh size"
     n_pad = len(poses)
-    step = make_distributed_gn_step(mesh, n_pad)
+    # CG needs ~O(n) iterations on chain-like graphs (see se2_solver)
+    step = make_distributed_gn_step(mesh, n_pad, cg_iters=max(50, n_pad))
 
     poses_j = jnp.asarray(poses, jnp.float32)
     args = tuple(

@@ -209,10 +209,15 @@ def lm_solve(
             hp = mv(p)
             alpha = rz / jnp.maximum(jnp.sum(p * hp), 1e-30)
             x = x + alpha * p
-            r = r - alpha * hp
+            # periodic true-residual restart: f32 recurrence drift breaks
+            # convergence over the O(n) iterations chain graphs need
+            restart = (i % 64) == 63
+            r = jnp.where(restart, b - mv(x), r - alpha * hp)
             z = prec(r)
             rz_new = jnp.sum(r * z)
-            beta = rz_new / jnp.maximum(rz, 1e-30)
+            beta = jnp.where(
+                restart, 0.0, rz_new / jnp.maximum(rz, 1e-30)
+            )
             return i + 1, x, r, z + beta * p, rz_new
 
         def cond(state):
@@ -372,8 +377,22 @@ class PoseGraphSolver:
             ]
             return self.corrections
 
+        # large graphs on a multi-device mesh use the edge-sharded
+        # distributed solve (dist/solver_dist.py)
+        if (
+            e >= self.config.dist_edge_threshold
+            and jax.device_count() > 1
+        ):
+            try:
+                return self._compute_distributed(n, e)
+            except Exception:
+                pass  # fall through to the single-device path
+
         cfg = self.config
-        n_pad, e_pad = _pad_pow2(n), _pad_pow2(e)
+        # generous pow2 floors: one executable covers the whole session
+        # until the graph outgrows it (each (n_pad, e_pad) bucket is a
+        # separate ~20 s remote compile on the tunneled TPU)
+        n_pad, e_pad = _pad_pow2(n, 256), _pad_pow2(e, 512)
         poses = np.zeros((n_pad, 3), np.float32)
         poses[:n] = np.stack(self._poses)
         src = np.zeros(e_pad, np.int32)
@@ -394,6 +413,10 @@ class PoseGraphSolver:
         if self._first_id in self._id_to_idx:
             free[self._id_to_idx[self._first_id]] = 0.0
 
+        # with a block-Jacobi preconditioner, CG propagates information
+        # roughly one graph hop per iteration — chain-like pose graphs
+        # need O(n) iterations for a loop closure to traverse the chain
+        cg_iters = max(cfg.cg_max_iterations, n_pad)
         poses_out, chi2_out, iters = lm_solve(
             jnp.asarray(poses),
             jnp.asarray(src), jnp.asarray(dst), jnp.asarray(rel),
@@ -404,12 +427,55 @@ class PoseGraphSolver:
             jnp.float32(cfg.parameter_tolerance),
             jnp.float32(cfg.cg_tolerance),
             n_nodes=n_pad, max_iterations=cfg.max_iterations,
-            cg_iters=cfg.cg_max_iterations,
+            cg_iters=cg_iters,
         )
         poses_out.block_until_ready()  # see match.py: fetch-backoff
         result = np.asarray(poses_out[:n], dtype=np.float64)
         self.corrections = [
             (node_id, result[i].copy()) for i, node_id in enumerate(self._ids)
+        ]
+        for i in range(n):
+            self._poses[i] = result[i].copy()
+        return self.corrections
+
+    def _compute_distributed(self, n: int, e: int):
+        """Edge-sharded multi-device solve for large graphs."""
+        from jax.sharding import Mesh
+
+        from slam_toolbox_tpu.dist import distributed_lm_solve
+
+        cfg = self.config
+        devices = jax.devices()
+        n_dev = len(devices)
+        mesh = Mesh(np.array(devices), ("graph",))
+        n_pad = _pad_pow2(n)
+        e_pad = ((_pad_pow2(e) + n_dev - 1) // n_dev) * n_dev
+        poses = np.zeros((n_pad, 3), np.float32)
+        poses[:n] = np.stack(self._poses)
+        src = np.full(e_pad, n_pad - 1, np.int64)
+        dst = np.full(e_pad, n_pad - 1, np.int64)
+        rel = np.zeros((e_pad, 3), np.float64)
+        sqrt_info = np.zeros((e_pad, 3, 3), np.float64)
+        emask = np.zeros(e_pad, bool)
+        for k, ((i1, i2), (rp, si)) in enumerate(self._edges.items()):
+            src[k] = self._id_to_idx[i1]
+            dst[k] = self._id_to_idx[i2]
+            rel[k] = rp
+            sqrt_info[k] = si
+            emask[k] = True
+        free = np.ones(n_pad, np.float32)
+        free[n:] = 0.0
+        if self._first_id in self._id_to_idx:
+            free[self._id_to_idx[self._first_id]] = 0.0
+        out, _ = distributed_lm_solve(
+            mesh, poses, src, dst, rel, sqrt_info, emask, free,
+            max_iterations=cfg.max_iterations,
+            initial_lambda=cfg.initial_lm_lambda,
+            function_tolerance=cfg.function_tolerance,
+        )
+        result = np.asarray(out[:n], dtype=np.float64)
+        self.corrections = [
+            (nid, result[i].copy()) for i, nid in enumerate(self._ids)
         ]
         for i in range(n):
             self._poses[i] = result[i].copy()

@@ -53,6 +53,41 @@ def test_distributed_solve_matches_single_device():
     np.testing.assert_allclose(dh, 0, atol=1e-2)
 
 
+def test_large_graph_uses_distributed_path():
+    """PoseGraphSolver auto-routes big graphs to the sharded solve."""
+    import jax
+    from slam_toolbox_tpu.solver import PoseGraphSolver
+
+    from slam_toolbox_tpu.core.params import SolverConfig
+
+    assert jax.device_count() >= 8
+    # chain graphs need O(n) CG iterations — keep n small on the CPU test
+    # backend and lower the routing threshold to exercise the dist path
+    n = 300
+    s = PoseGraphSolver(SolverConfig(dist_edge_threshold=256))
+    cov = np.diag([1e-4, 1e-4, 1e-5])
+    rng = np.random.default_rng(0)
+    pose = np.zeros(3)
+    s.add_node(0, pose)
+    for i in range(1, n):
+        step = np.array([0.5, 0.0, 2 * np.pi / n])
+        noisy = step + rng.normal(0, 0.01, 3)
+        c, sn = np.cos(pose[2]), np.sin(pose[2])
+        pose = np.array([
+            pose[0] + c * noisy[0] - sn * noisy[1],
+            pose[1] + sn * noisy[0] + c * noisy[1],
+            pose[2] + noisy[2],
+        ])
+        s.add_node(i, pose)
+        s.add_constraint(i - 1, i, step, cov)
+    s.add_constraint(n - 1, 0, np.array([0.5, 0.0, 2 * np.pi / n]), cov)
+    corr = dict(s.compute())
+    assert len(corr) == n
+    # the loop must close: last node near the first
+    d = np.hypot(*(corr[n - 1][:2] - corr[0][:2]))
+    assert d < 1.5, f"loop not closed, gap {d}"
+
+
 def test_distributed_solve_improves_chi2():
     devices = jax.devices()
     mesh = Mesh(np.array(devices[:4]), ("graph",))
