@@ -12,6 +12,7 @@ vs_baseline = our scans/sec / 50.
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 import json
+import os
 import sys
 import time
 
@@ -19,6 +20,10 @@ import numpy as np
 
 
 def main():
+    if os.environ.get("BENCH_CPU") == "1":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     from slam_toolbox_tpu.api import SlamSession
     from slam_toolbox_tpu.core.params import MapperConfig
     from slam_toolbox_tpu.core.scan import LaserConfig
@@ -54,7 +59,7 @@ def main():
         correlation_search_space_smear_deviation=0.1,
         distance_variance_penalty=0.5, angle_variance_penalty=1.0,
     )
-    sess = SlamSession(cfg, laser)
+    sess = SlamSession(cfg, laser, streaming=True, drain_every=8)
     t_w = time.time()
     sess.warm_all()
     print(f"# warm_all {time.time()-t_w:.0f}s", file=sys.stderr, flush=True)
@@ -64,24 +69,32 @@ def main():
     est, gt, odo = [], [], []
     t_start = None
     t0 = time.time()
+    accepted = []
     for i, (scan, tp) in enumerate(data):
         out = sess.process_scan(scan.ranges, scan.odom_pose, time=i * 0.1)
         if out is not None:
             n += 1
-            est.append(out[0])
+            accepted.append((scan, tp))
             gt.append(tp)
             odo.append(scan.odom_pose)
         if i % 25 == 0:
             print(f"# scan {i} t={time.time()-t0:.1f}s", file=sys.stderr,
                   flush=True)
         if i == warmup - 1:
+            sess.flush()
             t_start = time.time()
             n_warm = n
+    sess.flush()
     elapsed = time.time() - t_start
     n_measured = n - n_warm
     scans_per_sec = n_measured / elapsed
 
-    est, gt, odo = np.stack(est), np.stack(gt), np.stack(odo)
+    # corrected poses land at drains; read them post-flush in order
+    est = np.stack([
+        s.corrected_pose for s in sess.mapper.all_processed_scans()
+    ])
+    gt, odo = np.stack(gt), np.stack(odo)
+    assert len(est) == len(gt)
     ate = ate_rmse(est, gt)
     ate_odom = ate_rmse(odo, gt)
     assert ate < ate_odom, (

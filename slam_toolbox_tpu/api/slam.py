@@ -53,10 +53,19 @@ class SlamSession:
         minimum_time_interval: float = 0.0,
         position_covariance_scale: float = 1.0,
         yaw_covariance_scale: float = 1.0,
+        streaming: bool = False,
+        drain_every: int = 8,
     ):
+        """streaming=True routes mapping-mode scans through the
+        device-resident pipeline (mapper/streaming.py): process_scan then
+        returns the propagated prior immediately and corrected poses land
+        at drains (every `drain_every` scans or on flush()/accessors)."""
         self.config = config or MapperConfig()
         self.laser = laser
         self.mapper = Mapper(self.config)
+        self.streaming = bool(streaming) and mode == "mapping"
+        self.drain_every = drain_every
+        self._pipe = None
         self.mode = mode
         self.throttle_scans = max(int(throttle_scans), 1)
         self.minimum_time_interval = float(minimum_time_interval)
@@ -110,7 +119,22 @@ class SlamSession:
 
         cov = np.eye(3)
         pt = self.processor_type
-        if pt == ProcessType.PROCESS:
+        if pt == ProcessType.PROCESS and self.streaming:
+            if self._pipe is None:
+                from slam_toolbox_tpu.mapper.streaming import (
+                    StreamingPipeline,
+                )
+
+                self._pipe = StreamingPipeline(
+                    self.mapper, self.laser, drain_every=self.drain_every
+                )
+            ok = self._pipe.process_scan(scan)
+            if not ok:
+                return None
+            self.last_scan_time = scan.time
+            self.last_scan_odom = np.array(scan.odom_pose)
+            return scan.corrected_pose, cov
+        elif pt == ProcessType.PROCESS:
             ok = self.mapper.process(scan, covariance_out=cov)
         elif pt == ProcessType.PROCESS_FIRST_NODE:
             ok = self.mapper.process_at_dock(scan, covariance_out=cov)
@@ -159,8 +183,14 @@ class SlamSession:
             )
         )
 
+    def flush(self) -> None:
+        """Drain the streaming pipeline (no-op otherwise)."""
+        if self._pipe is not None:
+            self._pipe.drain()
+
     # -- map rendering (updateMap, :630-654) --------------------------------
     def get_occupancy_grid(self, resolution: Optional[float] = None):
+        self.flush()
         scans = self.mapper.all_processed_scans()
         return occupancy.create_from_scans(
             scans,
@@ -173,6 +203,7 @@ class SlamSession:
     def serialize(self, path: str) -> None:
         from slam_toolbox_tpu.io.serialization import save_snapshot
 
+        self.flush()
         save_snapshot(self.mapper, path)
 
     def deserialize(
@@ -279,6 +310,21 @@ class SlamSession:
         s.add_constraint(1, 2, [1, 0, 0], np.eye(3) * 1e-3)
         s.compute()
 
+        if self.streaming:
+            # compile the streaming programs on a throwaway pipeline
+            from slam_toolbox_tpu.mapper import Mapper as _Mapper
+            from slam_toolbox_tpu.mapper.streaming import StreamingPipeline
+
+            wm = _Mapper(self.config)
+            pipe = StreamingPipeline(wm, self.laser, drain_every=2)
+            for k in range(2):
+                sc = LocalizedScan(
+                    self.laser, ranges, np.array([0.4 * k, 0.0, 0.0])
+                )
+                sc.time = float(k)
+                pipe.process_scan(sc)
+            pipe.drain()
+
     # -- graph access for visualization / manual closure --------------------
     def get_graph(self):
         return self.mapper.solver.get_graph()
@@ -295,6 +341,7 @@ class SlamSession:
 
     @property
     def trajectory(self) -> np.ndarray:
+        self.flush()
         scans = self.mapper.all_processed_scans()
         if not scans:
             return np.zeros((0, 3))
