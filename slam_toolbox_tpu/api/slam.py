@@ -279,27 +279,9 @@ class SlamSession:
             (self.mapper.sequential_matcher, False, True),
             (self.mapper.loop_matcher, False, False),
         ]
-        buckets = [1024]
-        p = 1024
-        cap = max(2048, self.config.scan_buffer_size * B)
-        while p < cap:
-            p <<= 1
-            buckets.append(p)
         for matcher, pen, refine in cfgs:
-            for bucket in buckets:
-                n_scans = max(bucket // B, 1)
-                while len(base) < n_scans:
-                    base.append(
-                        LocalizedScan(self.laser, ranges, np.zeros(3))
-                    )
-                group = base[:n_scans]
-                # force this bucket exactly
-                total = n_scans * B
-                if not (bucket // 2 < total <= bucket):
-                    continue
-                matcher.match_scan(
-                    dummy, group, penalize=pen, refine=refine
-                )
+            # the matcher pads base points into a single 16 Ki bucket
+            matcher.match_scan(dummy, base, penalize=pen, refine=refine)
         # solver (one tiny graph per pad bucket it will start from)
         from slam_toolbox_tpu.solver import PoseGraphSolver
 

@@ -249,7 +249,13 @@ class Matcher:
         else:
             pts = np.concatenate(pts_list, axis=0)
             valid = np.concatenate(valid_list, axis=0)
-        P = max(1024, 1 << int(np.ceil(np.log2(max(len(pts), 1)))))
+        # exactly two pad buckets (16 Ki / 64 Ki points): every distinct
+        # shape is a separate ~30-60 s remote compile on the tunneled TPU,
+        # and padded scatter work is sub-ms either way
+        P = 16384 if len(pts) <= 16384 else 65536
+        if len(pts) > P:  # enormous chains: keep the most recent points
+            pts = pts[-P:]
+            valid = valid[-P:]
         pts_p = np.zeros((P, 2), np.float32)
         pts_p[: len(pts)] = np.nan_to_num(pts, nan=-1e9)
         valid_p = np.zeros((P,), bool)
