@@ -150,11 +150,14 @@ class Mapper:
         self.finish_scan(scan, cov)
         return True
 
-    def finish_scan(self, scan, cov) -> bool:
+    def finish_scan(self, scan, cov, try_loops: bool = True) -> bool:
         """Post-match bookkeeping shared with the streaming pipeline:
         register the scan, grow the graph, update the running buffer, and
         attempt loop closure (the tail of Process, Mapper.cpp:2724-2743).
-        Returns True if a loop closure fired (poses moved globally)."""
+        Returns True if a loop closure fired (poses moved globally).
+        try_loops=False defers loop-closure attempts (the streaming drain
+        checks once per batch — candidate chains persist across
+        consecutive scans, so closures still fire, a few scans later)."""
         sm = self.sensor_manager
         closed = False
         sm.add_scan(scan)
@@ -162,7 +165,7 @@ class Mapper:
             self.graph.add_vertex(scan)
             self.graph.add_edges(scan, cov)
             sm.add_running_scan(scan)
-            if self.config.do_loop_closing:
+            if self.config.do_loop_closing and try_loops:
                 for name in sm.sensor_names():
                     if self.graph.try_close_loop(scan, name):
                         closed = True

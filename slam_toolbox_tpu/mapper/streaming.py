@@ -244,6 +244,7 @@ class StreamingPipeline:
         self.state = None
         self.pending: List = []
         self._last_gate_scan = None
+        self._dispatched_since_refresh = 0
 
     # -- state <-> host sync -----------------------------------------------
     def _scan_stream_arrays(self, scan):
@@ -313,6 +314,7 @@ class StreamingPipeline:
             st["last_odom"] = last.odom_pose.astype(np.float32)
             st["last_corrected"] = last.corrected_pose.astype(np.float32)
         self.state = {k: jnp.asarray(v) for k, v in st.items()}
+        self._dispatched_since_refresh = 0
 
     # -- ingestion ----------------------------------------------------------
     def process_scan(self, scan) -> bool:
@@ -345,7 +347,12 @@ class StreamingPipeline:
         )
         self.pending.append(scan)
         self._last_gate_scan = scan
-        if len(self.pending) >= self.drain_every:
+        self._dispatched_since_refresh += 1
+        # drain before the device result ring can wrap
+        if (
+            len(self.pending) >= self.drain_every
+            or self._dispatched_since_refresh >= RESULT_CAP - 1
+        ):
             self.drain()
         return True
 
@@ -360,11 +367,12 @@ class StreamingPipeline:
         results = self.state["results"]
         results.block_until_ready()
         res_np = np.asarray(results, np.float64)
-        # after each refresh n_results restarts at 0, and every drain
-        # empties pending, so the batch occupies slots 0..n-1
+        start = self._dispatched_since_refresh - n
         stale_from: Optional[int] = None
+        poses_moved = False
+        any_closed = False
         for i, scan in enumerate(self.pending):
-            packed = res_np[i % RESULT_CAP]
+            packed = res_np[(start + i) % RESULT_CAP]
             response = packed[0]
             mean = packed[1:4]
             cov = packed[4:13].reshape(3, 3)
@@ -381,7 +389,13 @@ class StreamingPipeline:
                 scan.set_sensor_pose(mean)
             else:
                 cov = np.eye(3)
-            closed = self.mapper.finish_scan(scan, cov)
+            pose_before = scan.corrected_pose.copy()
+            closed = self.mapper.finish_scan(
+                scan, cov, try_loops=(i == n - 1)
+            )
+            any_closed = any_closed or closed
+            if np.any(np.abs(scan.corrected_pose - pose_before) > 1e-7):
+                poses_moved = True  # near-chain fusion moved this scan
             if closed and i + 1 < n:
                 stale_from = i + 1
                 break
@@ -390,6 +404,9 @@ class StreamingPipeline:
                 self.mapper.process(scan)
         self.pending = []
         self._last_gate_scan = None
-        # resync device state with the authoritative host buffer (loop
-        # closures / chain fusions may have moved poses)
-        self.refresh_state()
+        # the device ring evolved with identical updates (same rule, same
+        # fetched poses), so a resync is only needed when bookkeeping
+        # moved poses (chain fusion, loop closure) — the common corridor
+        # case skips the full state re-upload
+        if poses_moved or any_closed or stale_from is not None:
+            self.refresh_state()
