@@ -274,12 +274,20 @@ class PoseGraph:
 
     def link_near_chains(self, scan, means, covariances) -> None:
         """LinkNearChains (Mapper.cpp:1639-1661): match against each near
-        chain; accept links above the fine response threshold."""
+        chain (unpenalized, as the reference's MatchScan call at :1653);
+        accept links above the fine response threshold. All chains are
+        matched in one batched dispatch."""
         cfg = self.mapper.config
-        for chain in self.find_near_chains(scan):
-            if len(chain) < cfg.loop_match_minimum_chain_size:
-                continue
-            res = self.mapper.sequential_matcher.match_scan(scan, chain)
+        chains = [
+            c for c in self.find_near_chains(scan)
+            if len(c) >= cfg.loop_match_minimum_chain_size
+        ]
+        if not chains:
+            return
+        results = self.mapper.sequential_matcher.match_scans_batch(
+            scan, chains, penalize=False, refine=True
+        )
+        for chain, res in zip(chains, results):
             if res.response > cfg.link_match_minimum_response_fine - 1e-6:
                 means.append(res.sensor_pose)
                 covariances.append(res.covariance)
@@ -411,24 +419,37 @@ class PoseGraph:
     def try_close_loop(self, scan, sensor_name) -> bool:
         """TryCloseLoop (Mapper.cpp:1500-1561): coarse match against each
         candidate chain, gate on response/variance, verify with a fine
-        match, then link and optimize."""
+        match, then link and optimize. Candidate chains are enumerated up
+        front and coarse-matched in one batched dispatch; after a closure
+        the sweep restarts from the following id with the corrected poses
+        (the reference interleaves sweep and match — same chain set)."""
         cfg = self.mapper.config
         closed = False
         start_id = 0
-        chain, start_id = self.find_possible_loop_closure(
-            scan, sensor_name, start_id
-        )
-        while chain:
-            coarse = self.mapper.loop_matcher.match_scan(
-                scan, chain, penalize=False, refine=False
+        while True:
+            chains = []
+            while True:
+                chain, start_id = self.find_possible_loop_closure(
+                    scan, sensor_name, start_id
+                )
+                if not chain:
+                    break
+                chains.append(chain)
+            if not chains:
+                return closed
+            coarse_results = self.mapper.loop_matcher.match_scans_batch(
+                scan, chains, penalize=False, refine=False
             )
-            if (
-                coarse.response > cfg.loop_match_minimum_response_coarse
-                and coarse.covariance[0, 0]
-                < cfg.loop_match_maximum_variance_coarse
-                and coarse.covariance[1, 1]
-                < cfg.loop_match_maximum_variance_coarse
-            ):
+            closed_this_round = False
+            for chain, coarse in zip(chains, coarse_results):
+                if not (
+                    coarse.response > cfg.loop_match_minimum_response_coarse
+                    and coarse.covariance[0, 0]
+                    < cfg.loop_match_maximum_variance_coarse
+                    and coarse.covariance[1, 1]
+                    < cfg.loop_match_maximum_variance_coarse
+                ):
+                    continue
                 # fine verification on a temporary copy seeded at the
                 # coarse pose (Mapper.cpp:1527-1535)
                 from slam_toolbox_tpu.core.scan import LocalizedScan
@@ -451,10 +472,10 @@ class PoseGraph:
                     )
                     self.correct_poses()
                     closed = True
-            chain, start_id = self.find_possible_loop_closure(
-                scan, sensor_name, start_id
-            )
-        return closed
+                    closed_this_round = True
+                    break  # poses moved: re-sweep remaining candidates
+            if not closed_this_round:
+                return closed
 
     def correct_poses(self) -> None:
         """CorrectPoses (Mapper.cpp:2012-2030): solver Compute + write

@@ -351,6 +351,43 @@ class Matcher:
             covariance=np.asarray(cov, dtype=np.float64),
         )
 
+    def match_scans_batch(
+        self, scan, base_sets, penalize: bool = True, refine: bool = True,
+    ):
+        """Match one scan against several base sets with all device work
+        dispatched back-to-back and a single completion wait — the per-call
+        sync/fetch cost is paid once per batch, not per set."""
+        if not base_sets:
+            return []
+        center = np.asarray(scan.sensor_pose, dtype=np.float64)
+        off = center[:2] - 0.5 * (self.G - 1) * self.resolution
+        local_dev, finite_dev = _scan_device_cache(scan)
+        center_off = jnp.asarray(
+            np.concatenate([center, off]).astype(np.float32)
+        )
+        packs = []
+        for base in base_sets:
+            pts_p, valid_p = self._base_points(base, center[:2])
+            grid_dev, pgrid_dev = self._raster_jit(
+                jnp.asarray(pts_p), jnp.asarray(valid_p),
+                center_off[3:5],
+            )
+            packs.append(self._score_jit[(penalize, refine)](
+                grid_dev, pgrid_dev, center_off, local_dev, finite_dev,
+            ))
+        packs[-1].block_until_ready()
+        out = []
+        for p in packs:
+            packed = np.asarray(p, np.float64)
+            mean = packed[1:4]
+            mean[2] = _normalize(mean[2])
+            out.append(MatchResult(
+                response=float(packed[0]),
+                sensor_pose=mean,
+                covariance=packed[4:13].reshape(3, 3),
+            ))
+        return out
+
     def _run_pass(
         self, grid_flat, off, center, x_off, y_off,
         angle_offset, angle_resolution, local_pts, finite, step_xy,
