@@ -88,6 +88,9 @@ def save_snapshot(mapper, path: str) -> None:
             name: sm._mgr(name).next_state_id for name in sm.sensor_names()
         },
         "range_threshold": mapper.range_threshold,
+        "vertex_scores": {
+            str(k): float(v) for k, v in mapper.vertex_scores.items()
+        },
         "version": 1,
     }
     np.savez_compressed(
@@ -165,6 +168,10 @@ def load_snapshot(path: str, mapper=None):
         mapper.solver.add_constraint(
             src.unique_id, dst.unique_id, e.rel_pose, e.covariance
         )
+
+    mapper.vertex_scores = {
+        int(k): v for k, v in meta.get("vertex_scores", {}).items()
+    }
 
     for name, sids in meta["running"].items():
         mgr = sm._mgr(name)

@@ -248,6 +248,84 @@ def create_from_scans(
     )
 
 
+def add_scans_incremental(
+    grid: OccupancyGrid,
+    scans: List,
+    min_pass_through: int = 2,
+    occupancy_threshold: float = 0.1,
+    chunk: int = 64,
+) -> OccupancyGrid:
+    """Fold additional scans into an existing grid's hit/pass counters and
+    re-threshold (the reference's AddScan(doUpdate=true) incremental path,
+    Karto.h:6146-6189 — here the counters update in one batched trace and
+    cells re-threshold once). Scans must fall inside the grid's extent;
+    out-of-bounds beams are dropped like the reference."""
+    scans = [s for s in scans if s is not None]
+    if not scans:
+        return grid
+    assert grid.pass_cnt is not None and grid.hit_cnt is not None, (
+        "grid was created without counters"
+    )
+    height, width = grid.pass_cnt.shape
+    scale = 1.0 / grid.resolution
+    pass_cnt = jnp.asarray(grid.pass_cnt)
+    hit_cnt = jnp.asarray(grid.hit_cnt)
+    rt = min(s.laser.range_threshold for s in scans)
+    max_steps = int(np.ceil(rt * scale)) + 8
+    B = scans[0].laser.n_beams
+    for c0 in range(0, len(scans), chunk):
+        group = scans[c0:c0 + chunk]
+        starts, ends, bvalid, evalid = [], [], [], []
+        for s in group:
+            laser = s.laser
+            r = s.ranges
+            pts = s.points_world(filtered=False).copy()
+            spos = s.sensor_pose[:2]
+            with np.errstate(invalid="ignore"):
+                use = (
+                    np.isfinite(r)
+                    & (r > laser.min_range)
+                    & (r < laser.max_range)
+                )
+                clamp = use & (r >= laser.range_threshold)
+            ratio = np.where(
+                clamp, laser.range_threshold / np.where(r > 0, r, 1.0), 1.0
+            )
+            pts = spos[None, :] + ratio[:, None] * (pts - spos[None, :])
+            end_ok = use & (r < laser.range_threshold - 1e-6)
+            sc = np.asarray(
+                round_half_away((spos - grid.offset) * scale), np.int32
+            )
+            ec = np.asarray(
+                round_half_away(
+                    (np.nan_to_num(pts, nan=-1e6)
+                     - grid.offset[None, :]) * scale
+                ),
+                np.int32,
+            )
+            starts.append(np.broadcast_to(sc, (len(r), 2)))
+            ends.append(ec)
+            bvalid.append(use)
+            evalid.append(end_ok)
+        n_pad = chunk * B
+        pass_cnt, hit_cnt = trace_beams(
+            pass_cnt, hit_cnt,
+            jnp.asarray(_pad2(np.concatenate(starts), n_pad)),
+            jnp.asarray(_pad2(np.concatenate(ends), n_pad)),
+            jnp.asarray(_pad1(np.concatenate(bvalid), n_pad)),
+            jnp.asarray(_pad1(np.concatenate(evalid), n_pad)),
+            width, height, max_steps,
+        )
+    cells = update_cells(
+        pass_cnt, hit_cnt,
+        jnp.int32(min_pass_through), jnp.float32(occupancy_threshold),
+    )
+    return OccupancyGrid(
+        np.asarray(cells), grid.offset, grid.resolution,
+        pass_cnt=np.asarray(pass_cnt), hit_cnt=np.asarray(hit_cnt),
+    )
+
+
 def _pad2(a, n):
     out = np.zeros((n, 2), a.dtype)
     out[: len(a)] = a

@@ -114,7 +114,12 @@ class LifelongMapper:
     def __init__(self, mapper, config: LifelongConfig = None):
         self.mapper = mapper
         self.cfg = config or LifelongConfig()
-        self.scores = {}  # unique_id -> vertex score (Vertex::m_Score)
+
+    @property
+    def scores(self):
+        """unique_id -> vertex score (Vertex::m_Score); lives on the
+        mapper so snapshots persist it across sessions."""
+        return self.mapper.vertex_scores
 
     def process(self, scan, covariance_out=None) -> bool:
         ok = self.mapper.process(scan, covariance_out=covariance_out)

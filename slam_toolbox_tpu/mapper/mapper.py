@@ -36,6 +36,9 @@ class Mapper:
         self.range_threshold: Optional[float] = None
         self.localization_buffer = deque()  # (scan,) LSV queue
         self.listeners: List[Callable[[str], None]] = []
+        # lifelong vertex scores (Vertex::m_Score, Mapper.h:303-315);
+        # persisted with the snapshot so decay state survives sessions
+        self.vertex_scores = {}
 
     # -- lifecycle (Mapper.cpp:2603-2672) -----------------------------------
     def initialize(self, range_threshold: float) -> None:

@@ -32,12 +32,27 @@ from slam_toolbox_tpu.kernels.match import _score_impl, _raster_quant_impl
 RESULT_CAP = 64
 
 
+def _unpack_scan(pack):
+    """Decode the single per-scan upload buffer (B, 8) f32:
+    [local_xy, fvp_anchor_xy, fvp_current_xy, next_delim, flags]
+    with flags bit0 = finite, bit1 = delimiter-slot valid."""
+    local_pts = pack[:, 0:2]
+    anchor = pack[:, 2:4]
+    current = pack[:, 4:6]
+    nxt = pack[:, 6].astype(jnp.int32)
+    flags = pack[:, 7].astype(jnp.int32)
+    finite = (flags & 1) > 0
+    dvalid = (flags & 2) > 0
+    return local_pts, anchor, current, nxt, finite, dvalid
+
+
 def _stream_raster_impl(
-    state, local_pts, finite, odom,
+    state, odom,
     offset_pose, scale, sigma_cells, half_span,
     grid_size: int, half_kernel: int, acc_r: int, parity: bool,
 ):
-    """Program A: prior propagation + device FVP + raster. Returns
+    """Program A: prior propagation + device FVP + raster (the new scan's
+    own data is only needed by program B). Returns
     (grid_flat, pgrid, center_off, prior_corrected)."""
     prior = _transform_between(
         state["last_odom"], state["last_corrected"], odom
@@ -91,13 +106,13 @@ def _stream_raster_impl(
 
 def _stream_update_impl(
     grid_flat, pgrid, center_off, prior,
-    state, local_pts, finite, odom,
-    anchor, current, dvalid, nxt,
+    state, pack, odom,
     offset_pose,
     run_buffer_size, run_max_distance,
     score_kwargs: dict,
 ):
     """Program B: score + pose update + ring push/evict + result append."""
+    local_pts, anchor, current, nxt, finite, dvalid = _unpack_scan(pack)
     packed = _score_impl(
         grid_flat, pgrid, center_off, local_pts, finite, **score_kwargs
     )
@@ -248,6 +263,9 @@ class StreamingPipeline:
 
     # -- state <-> host sync -----------------------------------------------
     def _scan_stream_arrays(self, scan):
+        """Single packed (B, 8) f32 upload buffer per scan (one h2d
+        transfer instead of seven): [local_xy, anchor_xy, current_xy,
+        next_delim, flags(bit0 finite, bit1 delim-valid)]."""
         cached = getattr(scan, "_stream_arrays", None)
         if cached is not None:
             return cached
@@ -259,21 +277,22 @@ class StreamingPipeline:
             scan.local_points
         )
         B = self.B
-        anchor = np.zeros((B, 2), np.float32)
-        current = np.zeros((B, 2), np.float32)
-        dvalid = np.zeros(B, bool)
+        pack = np.zeros((B, 8), np.float32)
+        pack[:, 0:2] = local
         D = len(delim_idx)
         if D:
-            anchor[:D] = anchors
-            current[:D] = local[delim_idx]
-            dvalid[:D] = True
-        nxt = next_delim.astype(np.int32)
-        out = (local, finite, anchor, current, dvalid, nxt)
+            pack[:D, 2:4] = anchors
+            pack[:D, 4:6] = local[delim_idx]
+        pack[:, 6] = next_delim.astype(np.float32)
+        flags = finite.astype(np.int32)
+        if D:
+            flags[:D] |= 2
+        pack[:, 7] = flags.astype(np.float32)
         try:
-            scan._stream_arrays = out
+            scan._stream_arrays = pack
         except AttributeError:
             pass
-        return out
+        return pack
 
     def refresh_state(self) -> None:
         """(Re)build device state from the host's authoritative running
@@ -299,15 +318,14 @@ class StreamingPipeline:
             "n_results": np.int32(0),
         }
         for i, s in enumerate(running[-K:]):
-            (local, finite, anchor, current, dvalid, nxt) = (
-                self._scan_stream_arrays(s)
-            )
-            st["ring_local"][i] = local
-            st["ring_anchor"][i] = anchor
-            st["ring_current"][i] = current
-            st["ring_dvalid"][i] = dvalid
-            st["ring_next"][i] = nxt
-            st["ring_finite"][i] = finite
+            pack = self._scan_stream_arrays(s)
+            st["ring_local"][i] = pack[:, 0:2]
+            st["ring_anchor"][i] = pack[:, 2:4]
+            st["ring_current"][i] = pack[:, 4:6]
+            st["ring_next"][i] = pack[:, 6].astype(np.int32)
+            flags = pack[:, 7].astype(np.int32)
+            st["ring_finite"][i] = (flags & 1) > 0
+            st["ring_dvalid"][i] = (flags & 2) > 0
             st["ring_pose"][i] = s.sensor_pose
             st["ring_slot_valid"][i] = True
         if last is not None:
@@ -329,21 +347,14 @@ class StreamingPipeline:
         if self.state is None:
             self.refresh_state()
 
-        local, finite, anchor, current, dvalid, nxt = (
-            self._scan_stream_arrays(scan)
-        )
-        args = (
-            jnp.asarray(local), jnp.asarray(finite),
-            jnp.asarray(scan.odom_pose, jnp.float32),
-        )
+        pack = jnp.asarray(self._scan_stream_arrays(scan))
+        odom = jnp.asarray(scan.odom_pose, jnp.float32)
         grid_flat, pgrid, center_off, prior = self._prog_a(
-            self.state, *args
+            self.state, odom
         )
         self.state = self._prog_b(
             grid_flat, pgrid, center_off, prior,
-            self.state, *args,
-            jnp.asarray(anchor), jnp.asarray(current),
-            jnp.asarray(dvalid), jnp.asarray(nxt),
+            self.state, pack, odom,
         )
         self.pending.append(scan)
         self._last_gate_scan = scan

@@ -82,6 +82,31 @@ def test_map_of_square_room():
     assert free > 3000  # 8x8 m interior at 0.1 res
 
 
+def test_incremental_equals_full_rebuild():
+    laser = LaserConfig(
+        min_range=0.05, max_range=12.0, range_threshold=10.0,
+        angular_resolution=np.deg2rad(1.0),
+    )
+    sim = LidarSimulator(SegmentWorld.box(4.0), laser, range_noise=0.0,
+                         seed=1)
+    scans = []
+    for pose in [(-2, -2, 0.3), (2, -2, 1.2), (2, 2, -2.0), (-2, 2, 2.4),
+                 (0, 0, 0.0)]:
+        r = sim.scan_at(np.array(pose, dtype=np.float64))
+        scans.append(LocalizedScan(laser, r, np.array(pose, np.float64)))
+    full = occ.create_from_scans(scans, 0.1, min_pass_through=1)
+    base = occ.OccupancyGrid(
+        np.zeros_like(full.cells), full.offset, full.resolution,
+        pass_cnt=np.zeros_like(full.pass_cnt),
+        hit_cnt=np.zeros_like(full.hit_cnt),
+    )
+    inc = occ.add_scans_incremental(base, scans[:3], min_pass_through=1)
+    inc = occ.add_scans_incremental(inc, scans[3:], min_pass_through=1)
+    np.testing.assert_array_equal(inc.pass_cnt, full.pass_cnt)
+    np.testing.assert_array_equal(inc.hit_cnt, full.hit_cnt)
+    np.testing.assert_array_equal(inc.cells, full.cells)
+
+
 def test_ray_cast():
     laser = LaserConfig(
         min_range=0.05, max_range=12.0, range_threshold=10.0,
