@@ -73,7 +73,8 @@ def main():
         correlation_search_space_smear_deviation=0.1,
         distance_variance_penalty=0.5, angle_variance_penalty=1.0,
     )
-    sess = SlamSession(cfg, laser, streaming=True, drain_every=8)
+    drain = int(os.environ.get("BENCH_DRAIN", "8"))
+    sess = SlamSession(cfg, laser, streaming=True, drain_every=drain)
 
     n = 0
     gt, odo = [], []
