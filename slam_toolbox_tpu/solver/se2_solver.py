@@ -185,18 +185,24 @@ def lm_solve(
     """Full Levenberg-Marquardt loop on device: one host round-trip per
     Compute() instead of ~3 per LM iteration."""
 
+    from slam_toolbox_tpu.solver import chain_precond as cp
+
     def pcg(diag, hab, grad, lam):
         eye = jnp.eye(3, dtype=poses.dtype)
         damp = lam * jnp.einsum("nii->n", diag)[:, None, None] * eye / 3.0
         diag_d = diag + damp + 1e-8 * eye
-        minv = jnp.linalg.inv(diag_d + 1e-6 * eye)
         b = grad * free[:, None]
 
         def mv(x):
             return _hx(x, diag_d, hab, src, dst, free)
 
+        # block-tridiagonal (odometry-chain) preconditioner: solves the
+        # chain exactly so CG only iterates on the loop-closure coupling
+        U = cp.build_chain_offdiag(hab, src, dst, n_nodes, free)
+        Sinv, T, W = cp.factorize(diag_d, U, free)
+
         def prec(r):
-            return jnp.einsum("nij,nj->ni", minv, r) * free[:, None]
+            return cp.apply(Sinv, T, W, r, free)
 
         x0 = jnp.zeros_like(b)
         r0 = b - mv(x0)
@@ -413,10 +419,9 @@ class PoseGraphSolver:
         if self._first_id in self._id_to_idx:
             free[self._id_to_idx[self._first_id]] = 0.0
 
-        # with a block-Jacobi preconditioner, CG propagates information
-        # roughly one graph hop per iteration — chain-like pose graphs
-        # need O(n) iterations for a loop closure to traverse the chain
-        cg_iters = max(cfg.cg_max_iterations, n_pad)
+        # the chain preconditioner solves the odometry backbone exactly,
+        # so the CG budget no longer needs to scale with graph size
+        cg_iters = cfg.cg_max_iterations
         poses_out, chi2_out, iters = lm_solve(
             jnp.asarray(poses),
             jnp.asarray(src), jnp.asarray(dst), jnp.asarray(rel),
