@@ -95,6 +95,26 @@ def _match_pass(
         return best, mean, var_th
 
 
+class _ScoreDispatch:
+    """Keeps the `matcher._score_jit[(penalize, refine)]` call shape while
+    penalize rides as a traced argument (one executable per refine)."""
+
+    def __init__(self, by_refine):
+        self.by_refine = by_refine
+
+    def __getitem__(self, key):
+        pen, refine = key
+        fn = self.by_refine[refine]
+
+        def call(grid_flat, pgrid, center_off, local_pts, finite):
+            return fn(
+                grid_flat, pgrid, center_off, local_pts, finite,
+                penalize=jnp.bool_(pen),
+            )
+
+        return call
+
+
 class Matcher:
     """One correlative matcher instance (sequential or loop).
 
@@ -181,34 +201,31 @@ class Matcher:
                 acc_r=self._acc_r, parity=self.use_pallas,
             )
         )
-        self._score_jit = {}
-        for pen in (False, True):
-            for refine in (False, True):
-                self._score_jit[(pen, refine)] = jax.jit(
-                    functools.partial(
-                        _score_impl,
-                        x_off_c=jnp.asarray(self._xy_coarse, jnp.float32),
-                        y_off_c=jnp.asarray(self._xy_coarse, jnp.float32),
-                        x_off_f=jnp.asarray(self._xy_fine, jnp.float32),
-                        y_off_f=jnp.asarray(self._xy_fine, jnp.float32),
-                        scale=np.float32(self.scale),
-                        coarse_angle_offset=np.float32(
-                            self.coarse_angle_offset),
-                        coarse_angle_res=np.float32(
-                            self.coarse_angle_resolution),
-                        fine_angle_offset=np.float32(
-                            self._fine_angle_offset),
-                        fine_angle_res=np.float32(self._fine_angle_res),
-                        penalize=pen,
-                        dist_var_penalty=self.penalty_params[0],
-                        ang_var_penalty=self.penalty_params[1],
-                        min_dist_pen=self.penalty_params[2],
-                        min_ang_pen=self.penalty_params[3],
-                        grid_size=self.G,
-                        na_coarse=self._na_coarse, na_fine=self._na_fine,
-                        refine=refine, acc_r=self._acc_r,
-                    )
-                )
+        # penalize is a traced argument so both penalty settings share one
+        # executable; only `refine` (structural) forks a variant
+        self._score_jit_by_refine = {}
+        for refine in (False, True):
+            fn = functools.partial(
+                _score_impl,
+                x_off_c=jnp.asarray(self._xy_coarse, jnp.float32),
+                y_off_c=jnp.asarray(self._xy_coarse, jnp.float32),
+                x_off_f=jnp.asarray(self._xy_fine, jnp.float32),
+                y_off_f=jnp.asarray(self._xy_fine, jnp.float32),
+                scale=np.float32(self.scale),
+                coarse_angle_offset=np.float32(self.coarse_angle_offset),
+                coarse_angle_res=np.float32(self.coarse_angle_resolution),
+                fine_angle_offset=np.float32(self._fine_angle_offset),
+                fine_angle_res=np.float32(self._fine_angle_res),
+                dist_var_penalty=self.penalty_params[0],
+                ang_var_penalty=self.penalty_params[1],
+                min_dist_pen=self.penalty_params[2],
+                min_ang_pen=self.penalty_params[3],
+                grid_size=self.G,
+                na_coarse=self._na_coarse, na_fine=self._na_fine,
+                refine=refine, acc_r=self._acc_r,
+            )
+            self._score_jit_by_refine[refine] = jax.jit(fn)
+        self._score_jit = _ScoreDispatch(self._score_jit_by_refine)
 
     # -- raster construction ------------------------------------------------
     def build_grid(self, base_scans, viewpoint_pose: np.ndarray):
