@@ -108,21 +108,21 @@ def main():
         float(len(steady) / steady.sum()) if steady.sum() > 0 else 0.0
     )
 
-    est = np.stack([
-        s.corrected_pose for s in sess.mapper.all_processed_scans()
-    ])
-    gt, odo = np.stack(gt), np.stack(odo)
-    k = min(len(est), len(gt))
-    ate = ate_rmse(est[:k], gt[:k])
-    ate_odom = ate_rmse(odo[:k], gt[:k])
-    print(
-        f"# ATE slam={ate:.3f} m, odom={ate_odom:.3f} m, {n} scans, "
-        f"{n_excluded} compile stalls excluded",
-        file=sys.stderr,
-    )
-    assert ate < ate_odom, (
-        f"accuracy regression: ATE {ate:.3f} vs odom {ate_odom:.3f}"
-    )
+    scans_done = sess.mapper.all_processed_scans()
+    if scans_done and gt:
+        est = np.stack([s.corrected_pose for s in scans_done])
+        gt, odo = np.stack(gt), np.stack(odo)
+        k = min(len(est), len(gt))
+        ate = ate_rmse(est[:k], gt[:k])
+        ate_odom = ate_rmse(odo[:k], gt[:k])
+        print(
+            f"# ATE slam={ate:.3f} m, odom={ate_odom:.3f} m, {n} scans, "
+            f"{n_excluded} compile stalls excluded",
+            file=sys.stderr,
+        )
+        assert ate < ate_odom, (
+            f"accuracy regression: ATE {ate:.3f} vs odom {ate_odom:.3f}"
+        )
 
     print(json.dumps({
         "metric": "online_sync_scans_per_sec_1chip",

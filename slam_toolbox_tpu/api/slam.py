@@ -188,6 +188,12 @@ class SlamSession:
         if self._pipe is not None:
             self._pipe.drain()
 
+    @property
+    def stats(self):
+        """Per-stage timing counters (utils/metrics.Stats); enable with
+        `sess.stats.enabled = True`."""
+        return self.mapper.stats
+
     # -- map rendering (updateMap, :630-654) --------------------------------
     def get_occupancy_grid(self, resolution: Optional[float] = None):
         self.flush()

@@ -51,44 +51,95 @@ class PoseGraph:
         self.edges: List[Edge] = []
         self.adjacency: Dict[int, List[Edge]] = {}
         self._version = 0       # bumped on any structural/pose change
-        self._cache_version = -1
-        self._cache = None      # (scans, uid_to_idx, xy, indptr, indices)
+        # incremental query structure: appended per vertex/edge, positions
+        # refreshed lazily after global pose changes, full rebuild only on
+        # vertex removal — O(1) amortized per scan instead of O(N+E)
+        # Python per query (matters at the 10^5-node localization scale)
+        self._q_scans: List = []
+        self._q_uid_to_idx: Dict[int, int] = {}
+        self._q_xy = np.zeros((256, 2))
+        self._q_esrc = np.zeros(512, np.int64)
+        self._q_edst = np.zeros(512, np.int64)
+        self._q_ne = 0
+        self._q_dirty = True        # structure invalid: full rebuild
+        self._q_xy_stale = True     # positions invalid: refresh rows
+        self._q_csr = None          # (indptr, indices) cache
+        self._q_csr_ne = -1
 
     def _bump(self) -> None:
         self._version += 1
 
-    def _query_structure(self):
-        """CSR adjacency + reference positions for native queries, cached
-        per graph version."""
-        if self._cache_version == self._version and self._cache is not None:
-            return self._cache
+    # -- incremental query-structure bookkeeping ---------------------------
+    def _q_add_vertex(self, scan) -> None:
+        i = len(self._q_scans)
+        self._q_scans.append(scan)
+        self._q_uid_to_idx[scan.unique_id] = i
+        if i >= len(self._q_xy):
+            self._q_xy = np.resize(self._q_xy, (2 * len(self._q_xy), 2))
         use_bc = self.mapper.config.use_scan_barycenter
-        scans = []
+        self._q_xy[i] = scan.reference_pose(use_bc)[:2]
+
+    def _q_add_edge(self, a_uid: int, b_uid: int) -> None:
+        ia = self._q_uid_to_idx.get(a_uid)
+        ib = self._q_uid_to_idx.get(b_uid)
+        if ia is None or ib is None:
+            self._q_dirty = True
+            return
+        if self._q_ne >= len(self._q_esrc):
+            self._q_esrc = np.resize(self._q_esrc, 2 * len(self._q_esrc))
+            self._q_edst = np.resize(self._q_edst, 2 * len(self._q_edst))
+        self._q_esrc[self._q_ne] = ia
+        self._q_edst[self._q_ne] = ib
+        self._q_ne += 1
+
+    def _q_rebuild(self) -> None:
+        self._q_scans = []
+        self._q_uid_to_idx = {}
         for name in self.vertices:
-            scans.extend(self.vertices[name].values())
-        uid_to_idx = {s.unique_id: i for i, s in enumerate(scans)}
-        n = len(scans)
-        xy = np.zeros((n, 2))
-        for i, s in enumerate(scans):
-            xy[i] = s.reference_pose(use_bc)[:2]
-        counts = np.zeros(n + 1, np.int64)
-        rows = []
-        for i, s in enumerate(scans):
-            nbrs = []
-            for e in self.adjacency.get(s.unique_id, []):
-                o = e.target if e.source is s else e.source
-                j = uid_to_idx.get(o.unique_id)
-                if j is not None:
-                    nbrs.append(j)
-            rows.append(nbrs)
-            counts[i + 1] = len(nbrs)
-        indptr = np.cumsum(counts)
-        indices = np.concatenate(
-            [np.asarray(r, np.int64) for r in rows]
-        ) if rows and indptr[-1] > 0 else np.zeros(0, np.int64)
-        self._cache = (scans, uid_to_idx, xy, indptr, indices)
-        self._cache_version = self._version
-        return self._cache
+            for s in self.vertices[name].values():
+                self._q_scans.append(s)
+        self._q_uid_to_idx = {
+            s.unique_id: i for i, s in enumerate(self._q_scans)
+        }
+        n = max(len(self._q_scans), 1)
+        self._q_xy = np.zeros((max(256, 2 * n), 2))
+        self._q_ne = 0
+        self._q_esrc = np.zeros(max(512, 4 * n), np.int64)
+        self._q_edst = np.zeros_like(self._q_esrc)
+        for e in self.edges:
+            self._q_add_edge(e.source.unique_id, e.target.unique_id)
+        self._q_dirty = False
+        self._q_xy_stale = True
+        self._q_csr = None
+
+    def _query_structure(self):
+        """(scans, uid_to_idx, xy, indptr, indices) for native queries."""
+        if self._q_dirty:
+            self._q_rebuild()
+        n = len(self._q_scans)
+        if self._q_xy_stale:
+            use_bc = self.mapper.config.use_scan_barycenter
+            for i, s in enumerate(self._q_scans):
+                self._q_xy[i] = s.reference_pose(use_bc)[:2]
+            self._q_xy_stale = False
+        if self._q_csr is None or self._q_csr_ne != self._q_ne:
+            ne = self._q_ne
+            src = self._q_esrc[:ne]
+            dst = self._q_edst[:ne]
+            both_src = np.concatenate([src, dst])
+            both_dst = np.concatenate([dst, src])
+            counts = np.bincount(both_src, minlength=n)
+            indptr = np.zeros(n + 1, np.int64)
+            np.cumsum(counts, out=indptr[1:])
+            order = np.argsort(both_src, kind="stable")
+            indices = both_dst[order]
+            self._q_csr = (indptr, indices)
+            self._q_csr_ne = ne
+        indptr, indices = self._q_csr
+        return (
+            self._q_scans, self._q_uid_to_idx, self._q_xy[:n],
+            indptr, indices,
+        )
 
     # -- vertex / edge primitives ------------------------------------------
     def add_vertex(self, scan) -> None:
@@ -96,6 +147,8 @@ class PoseGraph:
         self.vertices.setdefault(scan.laser.name, {})[scan.state_id] = scan
         self.adjacency.setdefault(scan.unique_id, [])
         self._bump()
+        if not self._q_dirty:
+            self._q_add_vertex(scan)
         if self.mapper.solver is not None:
             self.mapper.solver.add_node(scan.unique_id, scan.corrected_pose)
 
@@ -117,6 +170,8 @@ class PoseGraph:
         self.adjacency.setdefault(from_scan.unique_id, []).append(e)
         self.adjacency.setdefault(to_scan.unique_id, []).append(e)
         self._bump()
+        if not self._q_dirty:
+            self._q_add_edge(from_scan.unique_id, to_scan.unique_id)
         if self.mapper.solver is not None:
             self.mapper.solver.add_constraint(
                 from_scan.unique_id, to_scan.unique_id,
@@ -140,6 +195,7 @@ class PoseGraph:
                 )
         self.adjacency.pop(uid, None)
         self._bump()
+        self._q_dirty = True
         if self.mapper.solver is not None:
             self.mapper.solver.remove_node(uid)
         sensor_map = self.vertices.get(scan.laser.name, {})
@@ -271,6 +327,7 @@ class PoseGraph:
             )
             scan.set_sensor_pose(fused)
         self._bump()  # scan positions may have moved (query cache)
+        self._q_xy_stale = True
 
     def link_near_chains(self, scan, means, covariances) -> None:
         """LinkNearChains (Mapper.cpp:1639-1661): match against each near
@@ -480,12 +537,17 @@ class PoseGraph:
     def correct_poses(self) -> None:
         """CorrectPoses (Mapper.cpp:2012-2030): solver Compute + write
         corrected poses back into the scans."""
+        from slam_toolbox_tpu.utils.metrics import stage_timer
+
         solver = self.mapper.solver
         if solver is None:
             return
-        for uid, pose in solver.compute():
+        with stage_timer(self.mapper.stats, "solve"):
+            corrections = solver.compute()
+        for uid, pose in corrections:
             s = self.mapper.sensor_manager.get_scan_by_unique_id(uid)
             if s is not None:
                 s.set_corrected_pose(pose)
         solver.clear()
         self._bump()
+        self._q_xy_stale = True

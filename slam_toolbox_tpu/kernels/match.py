@@ -266,10 +266,15 @@ class Matcher:
         else:
             pts = np.concatenate(pts_list, axis=0)
             valid = np.concatenate(valid_list, axis=0)
-        # exactly two pad buckets (16 Ki / 64 Ki points): every distinct
-        # shape is a separate ~30-60 s remote compile on the tunneled TPU,
-        # and padded scatter work is sub-ms either way
-        P = 16384 if len(pts) <= 16384 else 65536
+        # TPU: exactly two pad buckets (16 Ki / 64 Ki points) — every
+        # distinct shape is a separate ~30-60 s remote compile on the
+        # tunneled TPU and padded scatter work is sub-ms there.
+        # CPU backend: compiles are cheap but scatter work is not, so use
+        # tight power-of-two buckets instead.
+        if jax.default_backend() == "tpu":
+            P = 16384 if len(pts) <= 16384 else 65536
+        else:
+            P = max(1024, 1 << int(np.ceil(np.log2(max(len(pts), 1)))))
         if len(pts) > P:  # enormous chains: keep the most recent points
             pts = pts[-P:]
             valid = valid[-P:]

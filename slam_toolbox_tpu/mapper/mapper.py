@@ -39,6 +39,9 @@ class Mapper:
         # lifelong vertex scores (Vertex::m_Score, Mapper.h:303-315);
         # persisted with the snapshot so decay state survives sessions
         self.vertex_scores = {}
+        from slam_toolbox_tpu.utils.metrics import Stats
+
+        self.stats = Stats(enabled=False)
 
     # -- lifecycle (Mapper.cpp:2603-2672) -----------------------------------
     def initialize(self, range_threshold: float) -> None:
@@ -140,11 +143,14 @@ class Mapper:
         if not self.has_moved_enough(scan, last):
             return False
 
+        from slam_toolbox_tpu.utils.metrics import stage_timer
+
         cov = np.eye(3)
         if self.config.use_scan_matching and last is not None:
-            res = self.sequential_matcher.match_scan(
-                scan, sm.get_running_scans(scan.laser.name)
-            )
+            with stage_timer(self.stats, "sequential_match"):
+                res = self.sequential_matcher.match_scan(
+                    scan, sm.get_running_scans(scan.laser.name)
+                )
             scan.set_sensor_pose(res.sensor_pose)
             cov = res.covariance
         if covariance_out is not None:
@@ -161,17 +167,21 @@ class Mapper:
         try_loops=False defers loop-closure attempts (the streaming drain
         checks once per batch — candidate chains persist across
         consecutive scans, so closures still fire, a few scans later)."""
+        from slam_toolbox_tpu.utils.metrics import stage_timer
+
         sm = self.sensor_manager
         closed = False
         sm.add_scan(scan)
         if self.config.use_scan_matching:
-            self.graph.add_vertex(scan)
-            self.graph.add_edges(scan, cov)
+            with stage_timer(self.stats, "graph_edges"):
+                self.graph.add_vertex(scan)
+                self.graph.add_edges(scan, cov)
             sm.add_running_scan(scan)
             if self.config.do_loop_closing and try_loops:
-                for name in sm.sensor_names():
-                    if self.graph.try_close_loop(scan, name):
-                        closed = True
+                with stage_timer(self.stats, "loop_closure"):
+                    for name in sm.sensor_names():
+                        if self.graph.try_close_loop(scan, name):
+                            closed = True
         sm.set_last_scan(scan)
         return closed
 

@@ -125,6 +125,44 @@ def test_lifelong_decay_removes_redundant_nodes(mapped_session):
             assert mapper.sensor_manager.get_scan(name, sid) is s
 
 
+def test_merge_auto_align(mapped_session):
+    """Second session recorded in an offset odometry frame; auto_align
+    must recover the offset."""
+    sess, path, data, world = mapped_session
+    laser, cfg = sim_config()
+    from slam_toolbox_tpu.core import geometry
+    from slam_toolbox_tpu.core.scan import LocalizedScan
+    from slam_toolbox_tpu.api import SlamSession
+
+    offset = np.array([1.3, -0.8, np.deg2rad(12.0)])
+    sim = LidarSimulator(world, laser, range_noise=0.01,
+                         odom_noise=(0.005, 0.002), seed=44)
+    wps = np.array([(-5.0, -3.5), (0.0, -3.5), (3.0, -3.5)])
+    d2 = sim.simulate(wps, step=0.45)
+    sess2 = SlamSession(cfg, laser)
+    for i, (scan, tp) in enumerate(d2):
+        # odometry reported in a frame offset from the world
+        odom = np.asarray(geometry.compose(offset, scan.odom_pose))
+        sess2.process_scan(scan.ranges, odom, time=i * 0.1)
+
+    merger = MapMerger()
+    merger.add_scans(sess.mapper.all_processed_scans())
+    i1 = merger.add_scans(sess2.mapper.all_processed_scans())
+    # rough initial guess: we only know the session started "somewhere
+    # near (-5, -3.5)" — 30+ cm and several degrees off
+    guess = np.array([-4.8, -3.3, 0.1])
+    resp = merger.auto_align(0, i1, initial_guess=guess)
+    assert resp is not None and resp > 0.4
+    # the recovered correction must undo the odometry-frame offset
+    t0 = merger.submaps[i1][0]
+    aligned = np.asarray(geometry.compose(
+        merger.corrections[i1], t0.corrected_pose
+    ))
+    true0 = d2[0][1]
+    err = np.hypot(*(aligned[:2] - true0[:2]))
+    assert err < 0.1, f"auto-align error {err}"
+
+
 def test_map_merge(mapped_session, tmp_path):
     sess, path, data, world = mapped_session
     merger = MapMerger()
