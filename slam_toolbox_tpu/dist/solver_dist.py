@@ -66,8 +66,19 @@ def make_distributed_gn_step(mesh: Mesh, n_nodes: int, cg_iters: int = 50):
         eye = jnp.eye(3, dtype=poses.dtype)
         damp = lm_lambda * jnp.einsum("nii->n", diag)[:, None, None] * eye / 3.0
         diag_d = diag + damp + 1e-8 * eye
-        minv = jnp.linalg.inv(diag_d + 1e-6 * eye)
         b = grad * free[:, None]
+
+        # odometry-chain preconditioner: chain coupling blocks are built
+        # from the local edge shard and psum-reduced, then every device
+        # runs the same parallel-cyclic-reduction solve on the replicated
+        # tridiagonal system (O(log n) depth)
+        import math
+
+        from slam_toolbox_tpu.solver import chain_precond as cp
+
+        U_local = cp.build_chain_offdiag(hab, src, dst, n_nodes, free)
+        U = jax.lax.psum(U_local, AXIS)
+        pcr_steps = int(math.ceil(math.log2(max(n_nodes, 2)))) + 1
 
         def mv(x):
             x = x * free[:, None]
@@ -86,7 +97,7 @@ def make_distributed_gn_step(mesh: Mesh, n_nodes: int, cg_iters: int = 50):
             return out * free[:, None]
 
         def prec(r):
-            return jnp.einsum("nij,nj->ni", minv, r) * free[:, None]
+            return cp.pcr_solve(diag_d, U, r, free, pcr_steps)
 
         x0 = jnp.zeros_like(b)
         r0 = b - mv(x0)

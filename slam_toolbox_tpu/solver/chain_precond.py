@@ -88,6 +88,67 @@ def factorize(diag_damped, U, free):
     return Sinv, T, W
 
 
+def pcr_solve(D, U, r, free, n_steps: int):
+    """Parallel cyclic reduction solve of the block-tridiagonal system
+    (D_i diagonal blocks, U_i = M[i, i+1]) — O(log n) depth with fully
+    batched 3x3 block ops, vs the O(n) span of the Thomas sweeps. Used for
+    large graphs where the sequential scan would dominate.
+
+    a_i z_{i-1} + b_i z_i + c_i z_{i+1} = r_i with a_i = U_{i-1}^T,
+    c_i = U_i; each PCR step eliminates neighbors at distance 2^k.
+    """
+    n = D.shape[0]
+    eye = jnp.eye(3, dtype=D.dtype)
+    B = jnp.where(free[:, None, None] > 0, D, eye[None])
+    zero_blk = jnp.zeros((3, 3), D.dtype)
+    A = jnp.concatenate(
+        [zero_blk[None], jnp.swapaxes(U, 1, 2)], axis=0
+    )  # (n,3,3) sub-diagonal
+    C = jnp.concatenate([U, zero_blk[None]], axis=0)  # super-diagonal
+    R = r * free[:, None]
+
+    def shift_up(x, s):  # x[i - s] with identity/zero padding
+        pad = [(s, 0)] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x, pad)[:n]
+
+    def shift_down(x, s):  # x[i + s]
+        pad = [(0, s)] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x, pad)[s:]
+
+    for k in range(n_steps):
+        s = 1 << k
+        if s >= n:
+            break
+        Bm = shift_up(B, s)
+        Bm = Bm + jnp.where(
+            (jnp.arange(n) < s)[:, None, None], eye[None], 0.0
+        )  # out-of-range neighbors get identity diag
+        Bp = shift_down(B, s)
+        Bp = Bp + jnp.where(
+            (jnp.arange(n) >= n - s)[:, None, None], eye[None], 0.0
+        )
+        Am, Cp = shift_up(A, s), shift_down(C, s)
+        Rm, Rp = shift_up(R, s), shift_down(R, s)
+        Cm, Ap = shift_up(C, s), shift_down(A, s)
+        Bm_inv = jax.vmap(_inv3)(Bm)
+        Bp_inv = jax.vmap(_inv3)(Bp)
+        alpha = -jnp.einsum("nij,njk->nik", A, Bm_inv)
+        gamma = -jnp.einsum("nij,njk->nik", C, Bp_inv)
+        B = (
+            B + jnp.einsum("nij,njk->nik", alpha, Cm)
+            + jnp.einsum("nij,njk->nik", gamma, Ap)
+        )
+        R = (
+            R + jnp.einsum("nij,nj->ni", alpha, Rm)
+            + jnp.einsum("nij,nj->ni", gamma, Rp)
+        )
+        A = jnp.einsum("nij,njk->nik", alpha, Am)
+        C = jnp.einsum("nij,njk->nik", gamma, Cp)
+
+    z = jnp.einsum("nij,nj->ni", jax.vmap(_inv3)(B), R)
+    return z * free[:, None]
+
+
 def apply(Sinv, T, W, r, free):
     """Solve M z = r with the factorization (two sequential sweeps)."""
     r = r * free[:, None]

@@ -197,12 +197,23 @@ def lm_solve(
             return _hx(x, diag_d, hab, src, dst, free)
 
         # block-tridiagonal (odometry-chain) preconditioner: solves the
-        # chain exactly so CG only iterates on the loop-closure coupling
+        # chain exactly so CG only iterates on the loop-closure coupling.
+        # Small graphs: Thomas factorization (O(n) span, reused across CG
+        # iterations). Large graphs: parallel cyclic reduction (O(log n)
+        # depth, fully batched — the sequential scan span would dominate).
         U = cp.build_chain_offdiag(hab, src, dst, n_nodes, free)
-        Sinv, T, W = cp.factorize(diag_d, U, free)
+        if n_nodes >= 4096:
+            import math
 
-        def prec(r):
-            return cp.apply(Sinv, T, W, r, free)
+            steps = int(math.ceil(math.log2(n_nodes))) + 1
+
+            def prec(r):
+                return cp.pcr_solve(diag_d, U, r, free, steps)
+        else:
+            Sinv, T, W = cp.factorize(diag_d, U, free)
+
+            def prec(r):
+                return cp.apply(Sinv, T, W, r, free)
 
         x0 = jnp.zeros_like(b)
         r0 = b - mv(x0)

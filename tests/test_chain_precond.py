@@ -37,6 +37,42 @@ def test_apply_solves_tridiagonal_exactly():
     np.testing.assert_allclose(z, z_ref, rtol=1e-5, atol=1e-6)
 
 
+def test_pcr_matches_dense_solve():
+    import math
+
+    n = 37  # non-power-of-two on purpose
+    D, U, M = random_spd_chain(n, seed=7)
+    free = np.ones(n, np.float64)
+    r = np.random.default_rng(4).normal(0, 1, (n, 3))
+    z = np.asarray(cp.pcr_solve(
+        jnp.asarray(D), jnp.asarray(U), jnp.asarray(r),
+        jnp.asarray(free), n_steps=int(math.ceil(math.log2(n))) + 1,
+    ))
+    z_ref = np.linalg.solve(M, r.reshape(-1)).reshape(n, 3)
+    np.testing.assert_allclose(z, z_ref, rtol=1e-4, atol=1e-5)
+
+
+def test_pcr_matches_thomas():
+    import math
+
+    n = 64
+    D, U, M = random_spd_chain(n, seed=8)
+    free = np.ones(n, np.float64)
+    free[0] = 0.0
+    r = np.random.default_rng(5).normal(0, 1, (n, 3))
+    Um = U * (free[:-1] * free[1:])[:, None, None]
+    Sinv, T, W = cp.factorize(jnp.asarray(D), jnp.asarray(Um),
+                              jnp.asarray(free))
+    z_thomas = np.asarray(cp.apply(Sinv, T, W, jnp.asarray(r),
+                                   jnp.asarray(free)))
+    z_pcr = np.asarray(cp.pcr_solve(
+        jnp.asarray(D), jnp.asarray(Um),
+        jnp.asarray(r), jnp.asarray(free),
+        n_steps=int(math.ceil(math.log2(n))) + 1,
+    ))
+    np.testing.assert_allclose(z_pcr, z_thomas, rtol=1e-4, atol=1e-5)
+
+
 def test_apply_respects_fixed_nodes():
     n = 10
     D, U, M = random_spd_chain(n, seed=5)
