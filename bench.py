@@ -73,11 +73,18 @@ def main():
         correlation_search_space_smear_deviation=0.1,
         distance_variance_penalty=0.5, angle_variance_penalty=1.0,
     )
-    # no warm_all: remote compiles fire lazily as the pipeline first needs
-    # each program; the >5 s stall filter below excludes them from the
-    # throughput sum, and total wall time is the same either way
     drain = int(os.environ.get("BENCH_DRAIN", "8"))
     sess = SlamSession(cfg, laser, streaming=True, drain_every=drain)
+    if os.environ.get("BENCH_STATS") == "1":
+        sess.stats.enabled = True
+    if os.environ.get("BENCH_WARM", "0") == "1":
+        # background warming is OFF by default on the tunneled TPU: the
+        # remote compiler serializes, so warm-thread compiles queue AHEAD
+        # of the lazily-needed ones and stall the pipeline far longer
+        # (measured: loop fine-match first call 12 s lazy vs 190 s with a
+        # concurrent warm thread). On hardware with a local compiler the
+        # overlap wins — enable with BENCH_WARM=1.
+        sess.warm_async()
 
     n = 0
     gt, odo = [], []
@@ -123,6 +130,12 @@ def main():
         assert ate < ate_odom, (
             f"accuracy regression: ATE {ate:.3f} vs odom {ate_odom:.3f}"
         )
+
+    if os.environ.get("BENCH_STATS") == "1":
+        for k, v in sess.stats.summary().items():
+            print(f"# stage {k}: {v}", file=sys.stderr)
+            print(f"#   samples {sess.stats.samples[k][:32]}",
+                  file=sys.stderr)
 
     print(json.dumps({
         "metric": "online_sync_scans_per_sec_1chip",

@@ -66,6 +66,10 @@ class SlamSession:
         self.streaming = bool(streaming) and mode == "mapping"
         self.drain_every = drain_every
         self._pipe = None
+        import threading
+
+        self._pipe_lock = threading.Lock()
+        self._warm_thread = None
         self.mode = mode
         self.throttle_scans = max(int(throttle_scans), 1)
         self.minimum_time_interval = float(minimum_time_interval)
@@ -120,14 +124,7 @@ class SlamSession:
         cov = np.eye(3)
         pt = self.processor_type
         if pt == ProcessType.PROCESS and self.streaming:
-            if self._pipe is None:
-                from slam_toolbox_tpu.mapper.streaming import (
-                    StreamingPipeline,
-                )
-
-                self._pipe = StreamingPipeline(
-                    self.mapper, self.laser, drain_every=self.drain_every
-                )
+            self._ensure_pipe()
             ok = self._pipe.process_scan(scan)
             if not ok:
                 return None
@@ -182,6 +179,18 @@ class SlamSession:
                 scan.corrected_pose, geometry.inverse(scan.odom_pose)
             )
         )
+
+    def _ensure_pipe(self):
+        with self._pipe_lock:
+            if self._pipe is None:
+                from slam_toolbox_tpu.mapper.streaming import (
+                    StreamingPipeline,
+                )
+
+                self._pipe = StreamingPipeline(
+                    self.mapper, self.laser, drain_every=self.drain_every
+                )
+            return self._pipe
 
     def flush(self) -> None:
         """Drain the streaming pipeline (no-op otherwise)."""
@@ -258,15 +267,15 @@ class SlamSession:
         self.last_scan_odom = None
         self.last_scan_time = -np.inf
 
-    def warm_all(self) -> None:
-        """Pre-compile every kernel variant the session can hit (matcher
-        raster/score variants across point buckets, the loop matcher, and
-        the solver), so steady-state throughput is compile-free. On the
-        tunneled TPU each executable compiles remotely (~15 s each) and
-        no persistent cache exists, so cold sessions otherwise stall
-        mid-run."""
-        import jax.numpy as jnp
-
+    def warm_all(self, big_buckets: bool = True) -> None:
+        """Pre-compile every kernel variant the session can hit (the
+        streaming batch program, matcher raster/score variants across
+        point-pad buckets for both matchers, and the solver's first node/
+        edge buckets), so steady-state throughput is compile-free. On the
+        tunneled TPU each executable compiles remotely (15 s to minutes)
+        and no persistent cache exists, so cold sessions otherwise stall
+        mid-run. Prefer warm_async(): the same warming overlapped with
+        live scan processing."""
         from slam_toolbox_tpu.core.scan import LocalizedScan
 
         if self.laser is None:
@@ -276,42 +285,71 @@ class SlamSession:
         B = self.laser.n_beams
         ranges = np.full(B, 2.0)
         dummy = LocalizedScan(self.laser, ranges, np.zeros(3))
-        base = [
+        small = [
             LocalizedScan(self.laser, ranges, np.zeros(3))
             for _ in range(2)
         ]
-        cfgs = [
-            (self.mapper.sequential_matcher, True, True),
-            (self.mapper.sequential_matcher, False, True),
-            (self.mapper.loop_matcher, False, False),
-        ]
-        for matcher, pen, refine in cfgs:
-            # the matcher pads base points into a single 16 Ki bucket
-            matcher.match_scan(dummy, base, penalize=pen, refine=refine)
-        # solver (one tiny graph per pad bucket it will start from)
+        seq = self.mapper.sequential_matcher
+        loop = self.mapper.loop_matcher
+
+        # order matters under warm_async: compile what the live pipeline
+        # needs soonest first
+        if self.streaming:
+            self._ensure_pipe().warm()
+        # sequential matcher (16 Ki bucket; penalize rides as a traced
+        # arg, so one refine=True executable covers near-chain links too)
+        seq.match_scan(dummy, small, penalize=True, refine=True)
+        # loop matcher coarse pass (16 Ki bucket)
+        loop.match_scan(dummy, small, penalize=False, refine=False)
+        if big_buckets:
+            # long chains (loop candidates / fine verification) pad into
+            # the 64 Ki bucket — a separate raster executable per matcher
+            big = [
+                LocalizedScan(self.laser, ranges, np.zeros(3))
+                for _ in range(max(2, 16384 // B + 1))
+            ]
+            seq.match_scan(dummy, big, penalize=False, refine=True)
+            loop.match_scan(dummy, big, penalize=False, refine=False)
+
+        # solver buckets (lm_solve's jit cache is module-global): the
+        # (256, 512) floor bucket, plus the next bucket under big_buckets
         from slam_toolbox_tpu.solver import PoseGraphSolver
 
-        s = PoseGraphSolver(self.config.solver)
-        for i in range(3):
-            s.add_node(i, [float(i), 0.0, 0.0])
-        s.add_constraint(0, 1, [1, 0, 0], np.eye(3) * 1e-3)
-        s.add_constraint(1, 2, [1, 0, 0], np.eye(3) * 1e-3)
-        s.compute()
+        def warm_solver(n_nodes: int):
+            s = PoseGraphSolver(self.config.solver)
+            for i in range(n_nodes):
+                s.add_node(i, [float(i), 0.0, 0.0])
+            for i in range(n_nodes - 1):
+                s.add_constraint(i, i + 1, [1, 0, 0], np.eye(3) * 1e-3)
+            s.compute()
 
-        if self.streaming:
-            # compile the streaming programs on a throwaway pipeline
-            from slam_toolbox_tpu.mapper import Mapper as _Mapper
-            from slam_toolbox_tpu.mapper.streaming import StreamingPipeline
+        warm_solver(3)
+        if big_buckets:
+            warm_solver(257)  # (512, 1024) bucket
 
-            wm = _Mapper(self.config)
-            pipe = StreamingPipeline(wm, self.laser, drain_every=2)
-            for k in range(2):
-                sc = LocalizedScan(
-                    self.laser, ranges, np.array([0.4 * k, 0.0, 0.0])
-                )
-                sc.time = float(k)
-                pipe.process_scan(sc)
-            pipe.drain()
+    def warm_async(self) -> None:
+        """Run warm_all on a daemon thread so compiles overlap live scan
+        processing (jit caches are locked per entry: if the pipeline hits
+        a program mid-compile it waits for that compile instead of
+        duplicating it). CAUTION: on the tunneled TPU the remote compiler
+        serializes requests, so warm compiles queue ahead of lazily-needed
+        ones and can stall the pipeline longer than lazy compilation
+        (measured 190 s vs 12 s for the loop fine-match program) — prefer
+        lazy or synchronous warm_all there; use this where compilation is
+        local."""
+        import threading
+
+        if getattr(self, "_warm_thread", None) is not None:
+            return
+
+        def work():
+            try:
+                self.warm_all(big_buckets=True)
+            except Exception:  # warming is best-effort
+                pass
+
+        self._warm_thread = threading.Thread(target=work, daemon=True)
+        self._warm_thread.start()
 
     # -- graph access for visualization / manual closure --------------------
     def get_graph(self):

@@ -28,9 +28,14 @@ class LaserConfig:
     angular_resolution: float = 2.0 * np.pi / 360.0
     offset_pose: tuple = (0.0, 0.0, 0.0)  # sensor extrinsics in robot frame
     is_360: bool = True
+    # explicit beam-count override (the reference factory sets
+    # m_NumberOfRangeReadings directly for some presets, Karto.h:4228-4236)
+    beam_count: Optional[int] = None
 
     @property
     def n_beams(self) -> int:
+        if self.beam_count is not None:
+            return int(self.beam_count)
         # beam-count calc per LaserRangeFinder::Update (Karto.h:4299-4310)
         return int(
             round((self.max_angle - self.min_angle) / self.angular_resolution)
@@ -46,6 +51,44 @@ class LaserConfig:
     def validate(self, ranges: np.ndarray) -> bool:
         """Scan must carry the expected beam count (Karto.cpp:209-221)."""
         return ranges.shape[-1] == self.n_beams
+
+    # -- vendor presets (CreateLaserRangeFinder factory, Karto.h:4120-4262;
+    # range thresholds from the factory's per-model comments) ---------------
+    @classmethod
+    def sick_lms100(cls, name: str = "Sick LMS 100") -> "LaserConfig":
+        return cls(name=name, min_range=0.0, max_range=20.0,
+                   range_threshold=18.0,
+                   min_angle=np.deg2rad(-135.0), max_angle=np.deg2rad(135.0),
+                   angular_resolution=np.deg2rad(0.25), is_360=False)
+
+    @classmethod
+    def sick_lms200(cls, name: str = "Sick LMS 200") -> "LaserConfig":
+        return cls(name=name, min_range=0.0, max_range=80.0,
+                   range_threshold=10.0,
+                   min_angle=np.deg2rad(-90.0), max_angle=np.deg2rad(90.0),
+                   angular_resolution=np.deg2rad(0.5), is_360=False)
+
+    @classmethod
+    def sick_lms291(cls, name: str = "Sick LMS 291") -> "LaserConfig":
+        return cls(name=name, min_range=0.0, max_range=80.0,
+                   range_threshold=30.0,
+                   min_angle=np.deg2rad(-90.0), max_angle=np.deg2rad(90.0),
+                   angular_resolution=np.deg2rad(0.5), is_360=False)
+
+    @classmethod
+    def hokuyo_utm_30lx(cls, name: str = "Hokuyo UTM-30LX") -> "LaserConfig":
+        return cls(name=name, min_range=0.1, max_range=30.0,
+                   range_threshold=30.0,
+                   min_angle=np.deg2rad(-135.0), max_angle=np.deg2rad(135.0),
+                   angular_resolution=np.deg2rad(0.25), is_360=False)
+
+    @classmethod
+    def hokuyo_urg_04lx(cls, name: str = "Hokuyo URG-04LX") -> "LaserConfig":
+        return cls(name=name, min_range=0.02, max_range=4.0,
+                   range_threshold=3.5,
+                   min_angle=np.deg2rad(-120.0), max_angle=np.deg2rad(120.0),
+                   angular_resolution=np.deg2rad(0.352), is_360=False,
+                   beam_count=751)
 
 
 class LocalizedScan:

@@ -282,6 +282,16 @@ class PoseGraph:
         """AddEdges (Mapper.cpp:1434-1498): link to the previous scan, the
         running-scan chain, and near chains; fuse the resulting means into
         the scan's sensor pose."""
+        self.add_edges_finish(scan, self.add_edges_begin(scan, covariance))
+
+    def add_edges_begin(self, scan, covariance):
+        """Phase 1 of AddEdges: the host-side links (previous scan +
+        running chain, or the multi-robot first-scan links) plus an
+        asynchronous dispatch of all near-chain matches. Returns pending
+        state for add_edges_finish; applying finish immediately is exactly
+        the reference's AddEdges order. The streaming drain runs phase 1
+        for the whole batch before any finish so every in-flight match
+        shares one device completion wait."""
         cfg = self.mapper.config
         sm = self.mapper.sensor_manager
         name = scan.laser.name
@@ -291,7 +301,7 @@ class PoseGraph:
         if last is not None:
             prev = sm.get_scan(name, scan.state_id - 1)
             if prev is None:
-                return
+                return None
             self.link_scans(prev, scan, scan.sensor_pose, covariance)
             # link to running scans chain
             scan_pose = scan.sensor_pose
@@ -317,7 +327,36 @@ class PoseGraph:
                     means.append(res.sensor_pose)
                     covariances.append(res.covariance)
 
-        self.link_near_chains(scan, means, covariances)
+        # near chains (LinkNearChains, Mapper.cpp:1639-1661): matched
+        # unpenalized like the reference's MatchScan call at :1653
+        chains = [
+            c for c in self.find_near_chains(scan)
+            if len(c) >= cfg.loop_match_minimum_chain_size
+        ]
+        packs = self.mapper.sequential_matcher.dispatch_scans_batch(
+            scan, chains, penalize=False, refine=True
+        )
+        return chains, packs, means, covariances
+
+    def add_edges_finish(self, scan, pending) -> None:
+        """Phase 2 of AddEdges: wait for the near-chain matches, accept
+        links above the fine response threshold, and fuse all means into
+        the scan's sensor pose (ComputeWeightedMean, Mapper.cpp:1495-1497)."""
+        if pending is None:
+            return
+        chains, packs, means, covariances = pending
+        cfg = self.mapper.config
+        from slam_toolbox_tpu.utils.metrics import stage_timer
+
+        with stage_timer(self.mapper.stats, "near_chain_match"):
+            results = self.mapper.sequential_matcher.collect_batch(packs)
+        for chain, res in zip(chains, results):
+            if res.response > cfg.link_match_minimum_response_fine - 1e-6:
+                means.append(res.sensor_pose)
+                covariances.append(res.covariance)
+                self.link_chain_to_scan(
+                    chain, scan, res.sensor_pose, res.covariance
+                )
 
         if means:
             fused = np.asarray(
@@ -328,29 +367,6 @@ class PoseGraph:
             scan.set_sensor_pose(fused)
         self._bump()  # scan positions may have moved (query cache)
         self._q_xy_stale = True
-
-    def link_near_chains(self, scan, means, covariances) -> None:
-        """LinkNearChains (Mapper.cpp:1639-1661): match against each near
-        chain (unpenalized, as the reference's MatchScan call at :1653);
-        accept links above the fine response threshold. All chains are
-        matched in one batched dispatch."""
-        cfg = self.mapper.config
-        chains = [
-            c for c in self.find_near_chains(scan)
-            if len(c) >= cfg.loop_match_minimum_chain_size
-        ]
-        if not chains:
-            return
-        results = self.mapper.sequential_matcher.match_scans_batch(
-            scan, chains, penalize=False, refine=True
-        )
-        for chain, res in zip(chains, results):
-            if res.response > cfg.link_match_minimum_response_fine - 1e-6:
-                means.append(res.sensor_pose)
-                covariances.append(res.covariance)
-                self.link_chain_to_scan(
-                    chain, scan, res.sensor_pose, res.covariance
-                )
 
     def get_closest_scan_to_pose(self, scans, pose):
         """GetClosestScanToPose (Mapper.cpp:1563-1582)."""
@@ -494,9 +510,12 @@ class PoseGraph:
                 chains.append(chain)
             if not chains:
                 return closed
-            coarse_results = self.mapper.loop_matcher.match_scans_batch(
-                scan, chains, penalize=False, refine=False
-            )
+            from slam_toolbox_tpu.utils.metrics import stage_timer
+
+            with stage_timer(self.mapper.stats, "loop_coarse_match"):
+                coarse_results = self.mapper.loop_matcher.match_scans_batch(
+                    scan, chains, penalize=False, refine=False
+                )
             closed_this_round = False
             for chain, coarse in zip(chains, coarse_results):
                 if not (
@@ -518,9 +537,10 @@ class PoseGraph:
                 tmp.unique_id = scan.unique_id
                 tmp.set_corrected_pose(scan.corrected_pose)
                 tmp.set_sensor_pose(coarse.sensor_pose)
-                fine = self.mapper.sequential_matcher.match_scan(
-                    tmp, chain, penalize=False
-                )
+                with stage_timer(self.mapper.stats, "loop_fine_match"):
+                    fine = self.mapper.sequential_matcher.match_scan(
+                        tmp, chain, penalize=False
+                    )
                 if fine.response >= cfg.loop_match_minimum_response_fine:
                     self.mapper.fire_loop_closure("Closing loop...")
                     scan.set_sensor_pose(fine.sensor_pose)

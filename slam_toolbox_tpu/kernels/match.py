@@ -373,12 +373,12 @@ class Matcher:
             covariance=np.asarray(cov, dtype=np.float64),
         )
 
-    def match_scans_batch(
+    def dispatch_scans_batch(
         self, scan, base_sets, penalize: bool = True, refine: bool = True,
     ):
-        """Match one scan against several base sets with all device work
-        dispatched back-to-back and a single completion wait — the per-call
-        sync/fetch cost is paid once per batch, not per set."""
+        """Dispatch matches of one scan against several base sets without
+        waiting: returns the list of in-flight packed device results.
+        Convert with collect_batch (which pays the one sync/fetch)."""
         if not base_sets:
             return []
         center = np.asarray(scan.sensor_pose, dtype=np.float64)
@@ -397,6 +397,14 @@ class Matcher:
             packs.append(self._score_jit[(penalize, refine)](
                 grid_dev, pgrid_dev, center_off, local_dev, finite_dev,
             ))
+        return packs
+
+    @staticmethod
+    def collect_batch(packs):
+        """Wait for dispatched packs and convert to MatchResults (one
+        completion wait for the whole batch)."""
+        if not packs:
+            return []
         packs[-1].block_until_ready()
         out = []
         for p in packs:
@@ -409,6 +417,16 @@ class Matcher:
                 covariance=packed[4:13].reshape(3, 3),
             ))
         return out
+
+    def match_scans_batch(
+        self, scan, base_sets, penalize: bool = True, refine: bool = True,
+    ):
+        """Match one scan against several base sets with all device work
+        dispatched back-to-back and a single completion wait — the per-call
+        sync/fetch cost is paid once per batch, not per set."""
+        return self.collect_batch(self.dispatch_scans_batch(
+            scan, base_sets, penalize=penalize, refine=refine,
+        ))
 
     def _run_pass(
         self, grid_flat, off, center, x_off, y_off,

@@ -4,14 +4,16 @@ The classic Mapper.process round-trips the tunnel per scan (dispatch,
 completion wait, result fetch: ~50 ms floor regardless of kernel speed).
 This pipeline keeps the sequential dependency chain ON DEVICE — the
 running-scan window (local points + FVP structures + poses), the last
-odometry/correction, and a ring of packed match results — so scans are
-dispatched back-to-back with NO per-scan sync. The host drains the result
-ring every `drain_every` scans (one fetch amortized over the batch) and
-replays the standard graph bookkeeping (edges, running buffer, loop
-closure) with the fetched poses; after each drain the device state is
-rebuilt from the host's authoritative running buffer, so reference
-semantics hold exactly at drain boundaries and device-side eviction only
-has to approximate them in between (same rule, device-computed poses).
+odometry/correction, and a ring of packed match results — and processes a
+whole batch of scans as ONE jitted lax.scan program (one upload, one
+dispatch, one result fetch per `drain_every` scans; the tunnel's
+per-program overhead otherwise dominates). At each drain the host replays
+the standard graph bookkeeping (edges, running buffer, loop closure) with
+the fetched poses; the device state is rebuilt from the host's
+authoritative running buffer whenever bookkeeping moved poses, so
+reference semantics hold exactly at drain boundaries and device-side
+eviction only has to approximate them in between (same rule,
+device-computed poses).
 
 No reference counterpart — slam_toolbox is synchronous per scan; this is
 the TPU-native latency-hiding design (BASELINE.json north star).
@@ -19,7 +21,7 @@ the TPU-native latency-hiding design (BASELINE.json north star).
 from __future__ import annotations
 
 import functools
-from typing import List, Optional
+from typing import List
 
 import jax
 import jax.numpy as jnp
@@ -169,6 +171,43 @@ def _stream_update_impl(
     return new_state
 
 
+def _stream_batch_impl(
+    state, packs, odoms, n_valid,
+    offset_pose, scale, sigma_cells, half_span,
+    grid_size: int, half_kernel: int, acc_r: int, parity: bool,
+    run_buffer_size, run_max_distance,
+    score_kwargs: dict,
+):
+    """One jitted program for a whole drain batch: lax.scan of
+    (raster -> score -> state update) over N scans. Replaces 2N separate
+    dispatches with one upload + one dispatch + one fetch per drain — the
+    tunnel's per-program overhead (~4-6 ms) dominates at these kernel
+    speeds. Steps with index >= n_valid leave the state untouched (the
+    flush() tail pads the batch)."""
+
+    def step(st, inp):
+        pack, odom, i = inp
+        grid_flat, pgrid, center_off, prior = _stream_raster_impl(
+            st, odom, offset_pose, scale, sigma_cells, half_span,
+            grid_size, half_kernel, acc_r, parity,
+        )
+        st2 = _stream_update_impl(
+            grid_flat, pgrid, center_off, prior, st, pack, odom,
+            offset_pose, run_buffer_size, run_max_distance, score_kwargs,
+        )
+        live = i < n_valid
+        st3 = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(live, new, old), st2, st
+        )
+        return st3, None
+
+    N = packs.shape[0]
+    state, _ = jax.lax.scan(
+        step, state, (packs, odoms, jnp.arange(N, dtype=jnp.int32))
+    )
+    return state
+
+
 def _compose(a, b):
     ca, sa = jnp.cos(a[2]), jnp.sin(a[2])
     return jnp.stack([
@@ -237,18 +276,14 @@ class StreamingPipeline:
             refine=True, acc_r=m._acc_r,
         )
         offset_pose = jnp.asarray(laser.offset_pose, jnp.float32)
-        self._prog_a = jax.jit(functools.partial(
-            _stream_raster_impl,
+        self._prog_batch = jax.jit(functools.partial(
+            _stream_batch_impl,
             offset_pose=offset_pose,
             scale=np.float32(m.scale),
             sigma_cells=np.float32(m.sigma_cells),
             half_span=np.float32(0.5 * (m.G - 1) * m.resolution),
             grid_size=m.G, half_kernel=m.half_kernel,
             acc_r=m._acc_r, parity=m.use_pallas,
-        ))
-        self._prog_b = jax.jit(functools.partial(
-            _stream_update_impl,
-            offset_pose=offset_pose,
             run_buffer_size=np.int32(self.K),
             run_max_distance=np.float32(
                 mapper.config.scan_buffer_maximum_scan_distance
@@ -260,6 +295,35 @@ class StreamingPipeline:
         self.pending: List = []
         self._last_gate_scan = None
         self._dispatched_since_refresh = 0
+
+    def warm(self) -> None:
+        """Compile the batch program without touching pipeline state (a
+        zeros-state dry run; the jitted callable's cache is per-instance,
+        so warming must go through THIS pipeline's _prog_batch)."""
+        K, B = self.K + 2, self.B
+        st = {
+            "ring_local": jnp.zeros((K, B, 2), jnp.float32),
+            "ring_anchor": jnp.zeros((K, B, 2), jnp.float32),
+            "ring_current": jnp.zeros((K, B, 2), jnp.float32),
+            "ring_dvalid": jnp.zeros((K, B), bool),
+            "ring_next": jnp.full((K, B), -1, jnp.int32),
+            "ring_finite": jnp.zeros((K, B), bool),
+            "ring_pose": jnp.zeros((K, 3), jnp.float32),
+            "ring_slot_valid": jnp.zeros(K, bool),
+            "head": jnp.int32(0),
+            "count": jnp.int32(0),
+            "last_odom": jnp.zeros(3, jnp.float32),
+            "last_corrected": jnp.zeros(3, jnp.float32),
+            "results": jnp.zeros((RESULT_CAP, 13), jnp.float32),
+            "n_results": jnp.int32(0),
+        }
+        out = self._prog_batch(
+            st,
+            jnp.zeros((self.drain_every, B, 8), jnp.float32),
+            jnp.zeros((self.drain_every, 3), jnp.float32),
+            jnp.int32(0),
+        )
+        out["results"].block_until_ready()
 
     # -- state <-> host sync -----------------------------------------------
     def _scan_stream_arrays(self, scan):
@@ -336,7 +400,8 @@ class StreamingPipeline:
 
     # -- ingestion ----------------------------------------------------------
     def process_scan(self, scan) -> bool:
-        """Gate + dispatch; bookkeeping happens at drain."""
+        """Gate + accumulate; the whole batch is dispatched as ONE device
+        program at drain (see _stream_batch_impl)."""
         if not scan.laser.validate(scan.ranges):
             return False
         last_ref = self._last_gate_scan or (
@@ -347,47 +412,61 @@ class StreamingPipeline:
         if self.state is None:
             self.refresh_state()
 
-        pack = jnp.asarray(self._scan_stream_arrays(scan))
-        odom = jnp.asarray(scan.odom_pose, jnp.float32)
-        grid_flat, pgrid, center_off, prior = self._prog_a(
-            self.state, odom
-        )
-        self.state = self._prog_b(
-            grid_flat, pgrid, center_off, prior,
-            self.state, pack, odom,
-        )
         self.pending.append(scan)
         self._last_gate_scan = scan
-        self._dispatched_since_refresh += 1
-        # drain before the device result ring can wrap
         if (
             len(self.pending) >= self.drain_every
-            or self._dispatched_since_refresh >= RESULT_CAP - 1
+            or self._dispatched_since_refresh + len(self.pending)
+            >= RESULT_CAP - 1
         ):
             self.drain()
         return True
 
+    def _dispatch_batch(self, scans) -> None:
+        """Upload + run the batch program (pad to the drain_every bucket so
+        one executable covers every drain, including partial flushes)."""
+        N = max(self.drain_every, len(scans))
+        B = self.B
+        packs = np.zeros((N, B, 8), np.float32)
+        odoms = np.zeros((N, 3), np.float32)
+        for i, s in enumerate(scans):
+            packs[i] = self._scan_stream_arrays(s)
+            odoms[i] = s.odom_pose
+        self.state = self._prog_batch(
+            self.state, jnp.asarray(packs), jnp.asarray(odoms),
+            jnp.int32(len(scans)),
+        )
+        self._dispatched_since_refresh += len(scans)
+
     def drain(self) -> None:
-        """Fetch pending results and replay standard graph bookkeeping.
-        If a loop closure fires mid-batch, the remaining pending scans'
-        device results are stale (computed against pre-closure poses) —
-        they are re-processed through the classic synchronous path."""
+        """Fetch pending results and replay standard graph bookkeeping in
+        two phases (host links + async near-chain dispatch, then one
+        batched wait + link/fuse), with one loop-closure attempt on the
+        newest scan. With drain_every=1 the sequence is exactly the classic
+        per-scan path (tested equivalence)."""
         if not self.pending:
             return
+        from slam_toolbox_tpu.utils.metrics import stage_timer
+
+        stats = self.mapper.stats
         n = len(self.pending)
+        self._dispatch_batch(self.pending)
         results = self.state["results"]
-        results.block_until_ready()
-        res_np = np.asarray(results, np.float64)
+        with stage_timer(stats, "drain_fetch"):
+            results.block_until_ready()
+            res_np = np.asarray(results, np.float64)
         start = self._dispatched_since_refresh - n
-        stale_from: Optional[int] = None
         poses_moved = False
         any_closed = False
-        for i, scan in enumerate(self.pending):
+        sm = self.mapper.sensor_manager
+        graph = self.mapper.graph
+        matching = self.mapper.config.use_scan_matching
+
+        def set_poses(i, scan):
             packed = res_np[(start + i) % RESULT_CAP]
             response = packed[0]
             mean = packed[1:4]
             cov = packed[4:13].reshape(3, 3)
-            sm = self.mapper.sensor_manager
             last = sm.get_last_scan(scan.laser.name)
             if last is not None:
                 scan.set_corrected_pose(np.asarray(
@@ -400,24 +479,59 @@ class StreamingPipeline:
                 scan.set_sensor_pose(mean)
             else:
                 cov = np.eye(3)
+            return cov
+
+        if n == 1:
+            # single-scan drain: exactly the classic per-scan sequence
+            scan = self.pending[0]
+            cov = set_poses(0, scan)
             pose_before = scan.corrected_pose.copy()
-            closed = self.mapper.finish_scan(
-                scan, cov, try_loops=(i == n - 1)
+            any_closed = self.mapper.finish_scan(scan, cov)
+            poses_moved = bool(
+                np.any(np.abs(scan.corrected_pose - pose_before) > 1e-7)
             )
-            any_closed = any_closed or closed
-            if np.any(np.abs(scan.corrected_pose - pose_before) > 1e-7):
-                poses_moved = True  # near-chain fusion moved this scan
-            if closed and i + 1 < n:
-                stale_from = i + 1
-                break
-        if stale_from is not None:
-            for scan in self.pending[stale_from:]:
-                self.mapper.process(scan)
+        else:
+            # phase 1 (per scan): set poses from the fetched ring results,
+            # add the vertex + host-side links, and DISPATCH the near-chain
+            # matches without waiting — phase 2 pays one completion wait
+            # for the whole batch instead of one per scan (the tunnel round
+            # trip is ~30-90 ms, the dominant per-scan cost at these kernel
+            # speeds). Running-buffer eviction sees the pre-fusion pose
+            # here (mm-scale difference at the eviction boundary only) —
+            # part of the documented between-drain approximation.
+            staged = []
+            for i, scan in enumerate(self.pending):
+                cov = set_poses(i, scan)
+                sm.add_scan(scan)
+                pf = None
+                if matching:
+                    with stage_timer(stats, "graph_edges"):
+                        graph.add_vertex(scan)
+                        pf = graph.add_edges_begin(scan, cov)
+                    sm.add_running_scan(scan)
+                sm.set_last_scan(scan)
+                staged.append((scan, pf))
+            # phase 2: collect near-chain matches, link + fuse
+            for scan, pf in staged:
+                pose_before = scan.corrected_pose.copy()
+                with stage_timer(stats, "graph_edges"):
+                    graph.add_edges_finish(scan, pf)
+                if np.any(np.abs(scan.corrected_pose - pose_before) > 1e-7):
+                    poses_moved = True  # near-chain fusion moved this scan
+            # loop closure once per batch on the newest scan (candidate
+            # chains persist across consecutive scans, so closures fire a
+            # few scans later at most)
+            if matching and self.mapper.config.do_loop_closing:
+                with stage_timer(stats, "loop_closure"):
+                    last_scan = self.pending[-1]
+                    for name in sm.sensor_names():
+                        if graph.try_close_loop(last_scan, name):
+                            any_closed = True
         self.pending = []
         self._last_gate_scan = None
         # the device ring evolved with identical updates (same rule, same
         # fetched poses), so a resync is only needed when bookkeeping
         # moved poses (chain fusion, loop closure) — the common corridor
         # case skips the full state re-upload
-        if poses_moved or any_closed or stale_from is not None:
+        if poses_moved or any_closed:
             self.refresh_state()

@@ -15,15 +15,21 @@ from typing import Dict
 class Stats:
     """Accumulates call counts and wall time per named stage."""
 
+    MAX_SAMPLES = 64
+
     def __init__(self, enabled: bool = True):
         self.enabled = enabled
         self.counts: Dict[str, int] = defaultdict(int)
         self.seconds: Dict[str, float] = defaultdict(float)
+        self.samples: Dict[str, list] = defaultdict(list)
 
     def add(self, stage: str, seconds: float, n: int = 1) -> None:
         if self.enabled:
             self.counts[stage] += n
             self.seconds[stage] += seconds
+            s = self.samples[stage]
+            if len(s) < self.MAX_SAMPLES:
+                s.append(round(seconds, 4))
 
     def count(self, stage: str, n: int = 1) -> None:
         if self.enabled:
@@ -44,6 +50,7 @@ class Stats:
     def reset(self) -> None:
         self.counts.clear()
         self.seconds.clear()
+        self.samples.clear()
 
 
 GLOBAL_STATS = Stats(enabled=False)
