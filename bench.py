@@ -136,6 +136,8 @@ def main():
             print(f"# stage {k}: {v}", file=sys.stderr)
             print(f"#   samples {sess.stats.samples[k][:32]}",
                   file=sys.stderr)
+        print(f"# solver {getattr(sess.mapper.solver, 'last_stats', None)}",
+              file=sys.stderr)
 
     print(json.dumps({
         "metric": "online_sync_scans_per_sec_1chip",

@@ -1,0 +1,347 @@
+"""Benchmark suite for the BASELINE.md configs beyond bench.py's config 1.
+
+Each subcommand prints ONE JSON line (same shape as bench.py). Sizes are
+scaled down by default so every config runs in minutes; pass --full for
+the BASELINE-sized workloads.
+
+  python scripts/bench_suite.py config2   # offline multi-lap apartment bag
+  python scripts/bench_suite.py config3   # warehouse session + lifelong decay
+  python scripts/bench_suite.py config4   # localization on a big prior graph
+  python scripts/bench_suite.py config5   # multi-session merge + sharded solve
+
+CPU backend: BENCH_CPU=1 (forced programmatically, the env var is
+overridden by the axon sitecustomize).
+"""
+from __future__ import annotations
+
+import argparse
+import pathlib
+import sys as _sys
+_sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def _maybe_cpu():
+    if os.environ.get("BENCH_CPU") == "1":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+
+def _emit(metric, value, unit, baseline):
+    print(json.dumps({
+        "metric": metric, "value": round(value, 3), "unit": unit,
+        "vs_baseline": round(value / baseline, 3) if baseline else None,
+    }))
+
+
+def _apartment():
+    from slam_toolbox_tpu.io.dataset import SegmentWorld
+
+    return SegmentWorld.rooms(16.0, 10.0)
+
+
+def _warehouse(aisles: int = 4, length: float = 30.0, pitch: float = 4.0):
+    """Aisle-grid warehouse: long racks with gaps, outer walls."""
+    from slam_toolbox_tpu.io.dataset import SegmentWorld
+
+    w = aisles * pitch + 4.0
+    h = length + 4.0
+    segs = [(-2, -2, w - 2, -2), (w - 2, -2, w - 2, h - 2),
+            (w - 2, h - 2, -2, h - 2), (-2, h - 2, -2, -2)]
+    for a in range(aisles):
+        x = a * pitch + pitch / 2
+        # racks with a mid-aisle gap so loops can close crosswise
+        segs.append((x, 0.0, x, length / 2 - 1.5))
+        segs.append((x, length / 2 + 1.5, x, length))
+        # rack clutter (distinct signatures per aisle against ambiguity)
+        segs.append((x - 0.3 * ((a % 3) + 1), 2.0 + 3.0 * a,
+                     x, 2.0 + 3.0 * a))
+    return SegmentWorld(segs), aisles, length, pitch
+
+
+def _serpentine(aisles, length, pitch):
+    wps = []
+    for a in range(aisles):
+        x = a * pitch
+        if a % 2 == 0:
+            wps += [(x, 0.0), (x, length)]
+        else:
+            wps += [(x, length), (x, 0.0)]
+    return np.array(wps)
+
+
+def _laser():
+    from slam_toolbox_tpu.core.scan import LaserConfig
+
+    return LaserConfig(
+        min_range=0.05, max_range=12.0, range_threshold=10.0,
+        angular_resolution=np.deg2rad(1.0 / 3),
+    )
+
+
+def _cfg(**kw):
+    from slam_toolbox_tpu.core.params import MapperConfig
+
+    base = dict(
+        minimum_travel_distance=0.2, minimum_time_interval=3600.0,
+        scan_buffer_size=10,
+        link_match_minimum_response_fine=0.1,
+        link_scan_maximum_distance=1.5,
+        loop_search_maximum_distance=3.0,
+        loop_match_minimum_response_coarse=0.35,
+        loop_match_minimum_response_fine=0.45,
+        loop_match_maximum_variance_coarse=3.0,
+        correlation_search_space_dimension=0.5,
+        correlation_search_space_resolution=0.01,
+        correlation_search_space_smear_deviation=0.1,
+        distance_variance_penalty=0.5, angle_variance_penalty=1.0,
+    )
+    base.update(kw)
+    return MapperConfig(**base)
+
+
+def _run_session(sess, data, budget_s, tag):
+    from slam_toolbox_tpu.io.dataset import ate_rmse
+
+    t0 = time.time()
+    lat, gt = [], []
+    t_prev = t0
+    for i, (scan, tp) in enumerate(data):
+        out = sess.process_scan(scan.ranges, scan.odom_pose, time=i * 0.1)
+        t_now = time.time()
+        if out is not None:
+            lat.append(t_now - t_prev)
+            gt.append(tp)
+        t_prev = t_now
+        if i % 200 == 0:
+            print(f"# {tag} scan {i}/{len(data)} t={t_now-t0:.0f}s",
+                  file=sys.stderr, flush=True)
+        if t_now - t0 > budget_s:
+            print(f"# {tag} budget reached at scan {i}", file=sys.stderr)
+            break
+    sess.flush()
+    lat = np.asarray(lat[5:])
+    steady = lat[lat < 5.0]
+    sps = float(len(steady) / steady.sum()) if steady.sum() > 0 else 0.0
+    scans_done = sess.mapper.all_processed_scans()
+    ate = None
+    if scans_done and gt:
+        est = np.stack([s.corrected_pose for s in scans_done])
+        k = min(len(est), len(gt))
+        ate = ate_rmse(est[:k], np.stack(gt)[:k])
+        print(f"# {tag} ATE={ate:.3f} m over {k} scans", file=sys.stderr)
+    return sps, ate, len(scans_done)
+
+
+def cmd_config2(args) -> int:
+    """Offline mapping of a ~5k-scan multi-lap apartment sequence
+    (BASELINE config 2), 1 chip, streaming pipeline."""
+    _maybe_cpu()
+    from slam_toolbox_tpu.api import SlamSession
+    from slam_toolbox_tpu.io.dataset import LidarSimulator
+
+    laser = _laser()
+    world = _apartment()
+    sim = LidarSimulator(world, laser, range_noise=0.01,
+                         odom_noise=(0.015, 0.006), seed=7)
+    lap = [(-6.0, -3.5), (1.5, -3.5), (5.5, -3.5), (5.5, 0.5), (5.5, 3.5),
+           (1.0, 3.5), (-3.0, 3.5), (-6.0, 3.0), (-6.5, -1.0), (-6.0, -3.5)]
+    laps = 40 if args.full else args.laps
+    wps = np.array(lap * laps)
+    data = sim.simulate(wps, step=0.3)
+    print(f"# config2: {len(data)} raw scans, {laps} laps", file=sys.stderr)
+    sess = SlamSession(_cfg(), laser, streaming=True,
+                       drain_every=args.drain)
+    sps, ate, n = _run_session(sess, data, args.budget, "config2")
+    assert ate is None or ate < 0.15, f"accuracy regression: {ate}"
+    _emit("offline_apartment_scans_per_sec", sps, "scans/s", 50.0)
+    return 0
+
+
+def cmd_config3(args) -> int:
+    """Warehouse session with lifelong decay (BASELINE config 3): repeated
+    serpentine laps; the decay keeps graph growth bounded."""
+    _maybe_cpu()
+    from slam_toolbox_tpu.api import SlamSession
+    from slam_toolbox_tpu.io.dataset import LidarSimulator
+    from slam_toolbox_tpu.mapper.lifelong import LifelongMapper
+
+    laser = _laser()
+    world, aisles, length, pitch = _warehouse()
+    sim = LidarSimulator(world, laser, range_noise=0.01,
+                         odom_noise=(0.012, 0.005), seed=11)
+    laps = 20 if args.full else args.laps
+    wps = np.concatenate([_serpentine(aisles, length, pitch)] * laps)
+    data = sim.simulate(wps, step=0.3)
+    print(f"# config3: {len(data)} raw scans, {laps} laps", file=sys.stderr)
+    sess = SlamSession(_cfg(), laser, streaming=False)
+    lifelong = LifelongMapper(sess.mapper)
+
+    t0 = time.time()
+    lat = []
+    t_prev = t0
+    from slam_toolbox_tpu.core.scan import LocalizedScan
+
+    for i, (scan, tp) in enumerate(data):
+        s = LocalizedScan(laser, scan.ranges, scan.odom_pose, time=i * 0.1)
+        ok = lifelong.process(s)  # addScan + evaluateNodeDepreciation
+        t_now = time.time()
+        if ok:
+            lat.append(t_now - t_prev)
+        t_prev = t_now
+        if i % 200 == 0:
+            nodes = sess.mapper.solver.n_nodes
+            print(f"# config3 scan {i}/{len(data)} nodes={nodes} "
+                  f"t={t_now-t0:.0f}s", file=sys.stderr, flush=True)
+        if t_now - t0 > args.budget:
+            break
+    lat = np.asarray(lat[5:])
+    steady = lat[lat < 5.0]
+    sps = float(len(steady) / steady.sum()) if steady.sum() > 0 else 0.0
+    nodes = sess.mapper.solver.n_nodes
+    n_scans = len(lat) + 5
+    print(f"# config3 final nodes={nodes} after {n_scans} scans "
+          f"(decay bounds growth)", file=sys.stderr)
+    _emit("lifelong_warehouse_scans_per_sec", sps, "scans/s", 50.0)
+    return 0
+
+
+def cmd_config4(args) -> int:
+    """Localization against a large prior graph (BASELINE config 4):
+    build + serialize a big session, then run elastic localization on a
+    fresh pass and report steady localization scans/s."""
+    _maybe_cpu()
+    import tempfile
+
+    from slam_toolbox_tpu.api import SlamSession
+    from slam_toolbox_tpu.api.slam import MatchType
+    from slam_toolbox_tpu.io.dataset import LidarSimulator, ate_rmse
+
+    laser = _laser()
+    world, aisles, length, pitch = _warehouse()
+    sim = LidarSimulator(world, laser, range_noise=0.01,
+                         odom_noise=(0.012, 0.005), seed=13)
+    laps = 12 if args.full else max(1, args.laps // 2)
+    wps = np.concatenate([_serpentine(aisles, length, pitch)] * laps)
+    data = sim.simulate(wps, step=0.3)
+    print(f"# config4: building prior graph from {len(data)} scans",
+          file=sys.stderr)
+    build = SlamSession(_cfg(), laser, streaming=True,
+                        drain_every=args.drain)
+    for i, (scan, tp) in enumerate(data):
+        build.process_scan(scan.ranges, scan.odom_pose, time=i * 0.1)
+    build.flush()
+    n_nodes = build.mapper.solver.n_nodes
+    snap = os.path.join(tempfile.mkdtemp(), "prior.npz")
+    build.serialize(snap)
+    print(f"# config4: prior graph {n_nodes} nodes -> {snap}",
+          file=sys.stderr)
+
+    sim2 = LidarSimulator(world, laser, range_noise=0.01,
+                          odom_noise=(0.012, 0.005), seed=29)
+    data2 = sim2.simulate(_serpentine(aisles, length, pitch), step=0.3)
+    loc = SlamSession(_cfg(minimum_travel_distance=0.2), laser,
+                      mode="localization")
+    loc.deserialize(snap, MatchType.LOCALIZE_AT_POSE,
+                    initial_pose=data2[0][1])
+    t0 = time.time()
+    lat, err = [], []
+    t_prev = t0
+    for i, (scan, tp) in enumerate(data2):
+        out = loc.process_scan(scan.ranges, scan.odom_pose, time=i * 0.1)
+        t_now = time.time()
+        if out is not None:
+            lat.append(t_now - t_prev)
+            err.append(np.hypot(*(out[0][:2] - tp[:2])))
+        t_prev = t_now
+        if t_now - t0 > args.budget:
+            break
+    lat = np.asarray(lat[5:])
+    steady = lat[lat < 5.0]
+    sps = float(len(steady) / steady.sum()) if steady.sum() > 0 else 0.0
+    rmse = float(np.sqrt(np.mean(np.square(err)))) if err else None
+    print(f"# config4 localization pose RMSE={rmse}", file=sys.stderr)
+    assert rmse is None or rmse < 0.25, f"localization drift: {rmse}"
+    _emit("localization_scans_per_sec", sps, "scans/s", 50.0)
+    return 0
+
+
+def cmd_config5(args) -> int:
+    """Multi-session merge with auto-alignment + sharded final solve over
+    a device mesh (BASELINE config 5)."""
+    _maybe_cpu()
+    import tempfile
+
+    import jax
+
+    from slam_toolbox_tpu.api import SlamSession
+    from slam_toolbox_tpu.api.merge import MapMerger
+    from slam_toolbox_tpu.io.dataset import LidarSimulator
+
+    laser = _laser()
+    world, aisles, length, pitch = _warehouse()
+    sessions = args.sessions
+    tmp = tempfile.mkdtemp()
+    paths = []
+    t0 = time.time()
+    # each session maps a band of aisles (overlapping one aisle)
+    per = max(2, aisles // sessions + 1)
+    for s in range(sessions):
+        a0 = min(s * (per - 1), aisles - per)
+        wps = _serpentine(per, length, pitch) + np.array([a0 * pitch, 0.0])
+        sim = LidarSimulator(world, laser, range_noise=0.01,
+                             odom_noise=(0.012, 0.005), seed=31 + s)
+        data = sim.simulate(wps, step=0.3)
+        sess = SlamSession(_cfg(), laser, streaming=True,
+                           drain_every=args.drain)
+        for i, (scan, tp) in enumerate(data):
+            sess.process_scan(scan.ranges, scan.odom_pose, time=i * 0.1)
+        p = os.path.join(tmp, f"session{s}.npz")
+        sess.serialize(p)
+        paths.append(p)
+        print(f"# config5 session {s}: {sess.mapper.solver.n_nodes} nodes",
+              file=sys.stderr, flush=True)
+    merger = MapMerger()
+    for p in paths:
+        merger.add_submap(p)
+    t_merge = time.time()
+    aligned = 0
+    for s in range(1, sessions):
+        r = merger.auto_align(0, s)
+        aligned += r is not None
+    grid = merger.merge(resolution=0.05)
+    dt = time.time() - t_merge
+    total_nodes = sum(len(s) for s in merger.submaps)
+    print(f"# config5 merged {total_nodes} nodes from {sessions} sessions "
+          f"({aligned} auto-aligned) on {jax.device_count()} devices, "
+          f"map {grid.cells.shape}, merge {dt:.1f}s, "
+          f"total {time.time()-t0:.1f}s", file=sys.stderr)
+    _emit("merge_nodes_per_sec", total_nodes / dt, "nodes/s", None)
+    return 0
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    for name, fn in (("config2", cmd_config2), ("config3", cmd_config3),
+                     ("config4", cmd_config4), ("config5", cmd_config5)):
+        p = sub.add_parser(name)
+        p.set_defaults(fn=fn)
+        p.add_argument("--full", action="store_true")
+        p.add_argument("--laps", type=int, default=4)
+        p.add_argument("--drain", type=int, default=8)
+        p.add_argument("--sessions", type=int, default=3)
+        p.add_argument("--budget", type=float, default=float(
+            os.environ.get("BENCH_BUDGET_S", "600")))
+    args = ap.parse_args()
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

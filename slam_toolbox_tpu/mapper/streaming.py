@@ -414,11 +414,10 @@ class StreamingPipeline:
 
         self.pending.append(scan)
         self._last_gate_scan = scan
-        if (
-            len(self.pending) >= self.drain_every
-            or self._dispatched_since_refresh + len(self.pending)
-            >= RESULT_CAP - 1
-        ):
+        # the ring only needs to hold results not yet consumed — i.e. the
+        # pending batch; consumed slots are safely overwritten (the fetch
+        # indexes modulo RESULT_CAP)
+        if len(self.pending) >= min(self.drain_every, RESULT_CAP - 1):
             self.drain()
         return True
 

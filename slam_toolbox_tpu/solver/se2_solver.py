@@ -172,6 +172,15 @@ def solve_pcg(diag, hab, grad, src, dst, free, lm_lambda, cg_iters: int,
     return x
 
 
+# below this node count the normal equations are solved DENSELY (one
+# Cholesky per LM step): at small n every CG iteration is latency-bound on
+# TPU (~0.4-0.6 ms even for a block-Jacobi apply — tiny-op dispatch floor),
+# while a dense (3n)^2 factorization is one fused op (~1 ms at n=1024) and
+# the exact step also cuts the LM iteration count (Ceres similarly uses
+# dense solvers for small problems)
+DENSE_MAX_NODES = 1024
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("n_nodes", "max_iterations", "cg_iters"),
@@ -186,6 +195,37 @@ def lm_solve(
     Compute() instead of ~3 per LM iteration."""
 
     from slam_toolbox_tpu.solver import chain_precond as cp
+
+    def dense_step(diag, hab, grad, lam):
+        """Exact damped-normal-equations solve via dense Cholesky."""
+        n3 = 3 * n_nodes
+        eye = jnp.eye(3, dtype=poses.dtype)
+        damp = lam * jnp.einsum("nii->n", diag)[:, None, None] * eye / 3.0
+        diag_d = diag + damp + 1e-8 * eye
+        ii = jnp.arange(3)
+        H = jnp.zeros((n3, n3), poses.dtype)
+        # block-diagonal: rows 3k+i, cols 3k+j
+        nidx = jnp.arange(n_nodes)
+        H = H.at[
+            (nidx[:, None, None] * 3 + ii[None, :, None]),
+            (nidx[:, None, None] * 3 + ii[None, None, :]),
+        ].add(diag_d)
+        # off-diagonal blocks hab at (src, dst) and habT at (dst, src)
+        H = H.at[
+            (src[:, None, None] * 3 + ii[None, :, None]),
+            (dst[:, None, None] * 3 + ii[None, None, :]),
+        ].add(hab, mode="drop")
+        H = H.at[
+            (dst[:, None, None] * 3 + ii[None, :, None]),
+            (src[:, None, None] * 3 + ii[None, None, :]),
+        ].add(jnp.swapaxes(hab, 1, 2), mode="drop")
+        free3 = jnp.repeat(free, 3)
+        # gauge: project fixed rows/cols out, unit diagonal keeps H SPD
+        H = H * free3[:, None] * free3[None, :] + jnp.diag(1.0 - free3)
+        b = (grad * free[:, None]).reshape(-1)
+        L = jnp.linalg.cholesky(H)
+        x = jax.scipy.linalg.cho_solve((L, True), b)
+        return (x * free3).reshape(n_nodes, 3)
 
     def pcg(diag, hab, grad, lam):
         eye = jnp.eye(3, dtype=poses.dtype)
@@ -244,13 +284,15 @@ def lm_solve(
         _, x, _, _, _ = jax.lax.while_loop(cond, body, (0, x0, r0, z0, rz0))
         return x
 
+    solve_step = dense_step if n_nodes <= DENSE_MAX_NODES else pcg
+
     def lm_body(state):
         it, poses_c, chi2, lam, done = state
         diag, hab, grad, _ = build_normal_blocks(
             poses_c, src, dst, rel, sqrt_info, emask, n_nodes=n_nodes
         )
         gnorm = jnp.max(jnp.abs(grad * free[:, None]))
-        step = pcg(diag, hab, grad, lam)
+        step = solve_step(diag, hab, grad, lam)
         new_poses = poses_c + step
         new_poses = new_poses.at[:, 2].set(
             jnp.arctan2(jnp.sin(new_poses[:, 2]), jnp.cos(new_poses[:, 2]))
@@ -446,6 +488,10 @@ class PoseGraphSolver:
             cg_iters=cg_iters,
         )
         poses_out.block_until_ready()  # see match.py: fetch-backoff
+        self.last_stats = {
+            "n": n, "e": e, "lm_iters": int(iters),
+            "chi2": float(chi2_out),
+        }
         result = np.asarray(poses_out[:n], dtype=np.float64)
         self.corrections = [
             (node_id, result[i].copy()) for i, node_id in enumerate(self._ids)
