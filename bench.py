@@ -3,14 +3,17 @@
 Runs the BASELINE config-1 workload (synthetic apartment loop, 1081-beam
 lidar, online_sync matcher settings: 0.5 m / 0.01 m sequential window,
 8 m / 0.05 m loop window, loop closure enabled) through the streaming SLAM
-pipeline and reports steady-state scans/sec.
+pipeline and reports scans/sec.
 
-Robustness: the tunneled TPU has no persistent executable cache and each
-remote compile can take minutes, so per-scan latencies above 5 s (one-time
-JIT compiles) are excluded from the throughput sum (standard
-steady-state-throughput practice; the count excluded is reported on
-stderr). BENCH_BUDGET_S (default 480) caps the total wall time — the run
-reports whatever it measured when the budget expires.
+Measurement is TWO-PASS: pass 1 runs the full sequence once to trigger
+every remote JIT compile (the tunneled TPU has no persistent executable
+cache and compiles take 15 s - minutes; all jitted programs are
+module-level so executables are shared across sessions), then pass 2 runs
+a FRESH session over the same sequence and reports pure wall-clock
+scans/sec with no exclusions of any kind. If the wall budget
+(BENCH_BUDGET_S, default 480) expires before pass 2 can run, the pass-1
+throughput with >5 s latencies (the compiles) excluded is reported
+instead.
 
 Baseline: slam_toolbox reports 5x+ real-time synchronous mapping on a
 robot CPU (README.md:40); at a typical 10 Hz lidar that is ~50 scans/sec.
@@ -28,20 +31,10 @@ import numpy as np
 COMPILE_STALL_S = 5.0
 
 
-def main():
-    if os.environ.get("BENCH_CPU") == "1":
-        import jax
-
-        jax.config.update("jax_platforms", "cpu")
-    budget = float(os.environ.get("BENCH_BUDGET_S", "480"))
-    t_begin = time.time()
-
-    from slam_toolbox_tpu.api import SlamSession
+def make_workload():
     from slam_toolbox_tpu.core.params import MapperConfig
     from slam_toolbox_tpu.core.scan import LaserConfig
-    from slam_toolbox_tpu.io.dataset import (
-        LidarSimulator, SegmentWorld, ate_rmse,
-    )
+    from slam_toolbox_tpu.io.dataset import LidarSimulator, SegmentWorld
 
     laser = LaserConfig(
         min_range=0.05, max_range=12.0, range_threshold=10.0,
@@ -73,70 +66,101 @@ def main():
         correlation_search_space_smear_deviation=0.1,
         distance_variance_penalty=0.5, angle_variance_penalty=1.0,
     )
-    drain = int(os.environ.get("BENCH_DRAIN", "8"))
+    return cfg, laser, data
+
+
+def run_pass(cfg, laser, data, drain, deadline, tag):
+    """Feed the sequence through a fresh session; returns
+    (wall_s, latencies, n_accepted, ate, ate_odom, session)."""
+    from slam_toolbox_tpu.api import SlamSession
+    from slam_toolbox_tpu.io.dataset import ate_rmse
+
     sess = SlamSession(cfg, laser, streaming=True, drain_every=drain)
     if os.environ.get("BENCH_STATS") == "1":
         sess.stats.enabled = True
-    if os.environ.get("BENCH_WARM", "0") == "1":
-        # background warming is OFF by default on the tunneled TPU: the
-        # remote compiler serializes, so warm-thread compiles queue AHEAD
-        # of the lazily-needed ones and stall the pipeline far longer
-        # (measured: loop fine-match first call 12 s lazy vs 190 s with a
-        # concurrent warm thread). On hardware with a local compiler the
-        # overlap wins — enable with BENCH_WARM=1.
-        sess.warm_async()
-
-    n = 0
-    gt, odo = [], []
-    latencies = []
-    t_prev = time.time()
+    gt, odo, lat = [], [], []
+    t_begin = time.time()
+    t_prev = t_begin
     for i, (scan, tp) in enumerate(data):
         out = sess.process_scan(scan.ranges, scan.odom_pose, time=i * 0.1)
         t_now = time.time()
         if out is not None:
-            n += 1
-            latencies.append(t_now - t_prev)
+            lat.append(t_now - t_prev)
             gt.append(tp)
             odo.append(scan.odom_pose)
         t_prev = t_now
-        if i % 25 == 0:
-            print(f"# scan {i} t={t_now-t_begin:.1f}s", file=sys.stderr,
-                  flush=True)
-        if t_now - t_begin > budget:
-            print(f"# budget reached at scan {i}", file=sys.stderr,
-                  flush=True)
+        if i % 100 == 0:
+            print(f"# {tag} scan {i} t={t_now-t_begin:.1f}s",
+                  file=sys.stderr, flush=True)
+        if t_now > deadline:
+            print(f"# {tag} budget reached at scan {i}", file=sys.stderr)
             break
     sess.flush()
+    wall = time.time() - t_begin
 
-    lat = np.asarray(latencies[5:])  # skip first scans (device init)
-    steady = lat[lat < COMPILE_STALL_S]
-    n_excluded = int((lat >= COMPILE_STALL_S).sum())
-    scans_per_sec = (
-        float(len(steady) / steady.sum()) if steady.sum() > 0 else 0.0
-    )
-
+    ate = ate_odom = None
     scans_done = sess.mapper.all_processed_scans()
     if scans_done and gt:
         est = np.stack([s.corrected_pose for s in scans_done])
-        gt, odo = np.stack(gt), np.stack(odo)
-        k = min(len(est), len(gt))
-        ate = ate_rmse(est[:k], gt[:k])
-        ate_odom = ate_rmse(odo[:k], gt[:k])
-        print(
-            f"# ATE slam={ate:.3f} m, odom={ate_odom:.3f} m, {n} scans, "
-            f"{n_excluded} compile stalls excluded",
-            file=sys.stderr,
-        )
-        assert ate < ate_odom, (
-            f"accuracy regression: ATE {ate:.3f} vs odom {ate_odom:.3f}"
-        )
+        gt_a, odo_a = np.stack(gt), np.stack(odo)
+        k = min(len(est), len(gt_a))
+        ate = ate_rmse(est[:k], gt_a[:k])
+        ate_odom = ate_rmse(odo_a[:k], gt_a[:k])
+        print(f"# {tag}: ATE slam={ate:.3f} m, odom={ate_odom:.3f} m, "
+              f"{len(lat)} scans in {wall:.1f}s", file=sys.stderr)
+    return wall, lat, len(lat), ate, ate_odom, sess
 
-    if os.environ.get("BENCH_STATS") == "1":
-        for k, v in sess.stats.summary().items():
-            print(f"# stage {k}: {v}", file=sys.stderr)
-            print(f"#   samples {sess.stats.samples[k][:32]}",
-                  file=sys.stderr)
-        print(f"# solver {getattr(sess.mapper.solver, 'last_stats', None)}",
+
+def main():
+    if os.environ.get("BENCH_CPU") == "1":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    budget = float(os.environ.get("BENCH_BUDGET_S", "480"))
+    deadline = time.time() + budget
+    # drain cadence: scans/s 28 @8, 41 @16, 43 @24, 89 @32, 127 @48 with
+    # ATE flat at 0.014-0.016 m (loop closures still fire every batch)
+    drain = int(os.environ.get("BENCH_DRAIN", "48"))
+
+    cfg, laser, data = make_workload()
+
+    # pass 1: compile warm-up (module-level jits => shared executables)
+    wall1, lat1, n1, ate1, odom1, sess1 = run_pass(
+        cfg, laser, data, drain, deadline - 30.0, "warm"
+    )
+    if ate1 is not None and odom1 is not None:
+        assert ate1 < odom1, f"accuracy regression: {ate1} vs {odom1}"
+
+    measured = False
+    if deadline - time.time() > 45.0:
+        wall2, lat2, n2, ate2, odom2, sess2 = run_pass(
+            cfg, laser, data, drain, deadline, "measure"
+        )
+        if n2 >= 0.9 * n1 and wall2 > 0:  # full pass fit in the budget
+            scans_per_sec = n2 / wall2
+            measured = True
+            if ate2 is not None and odom2 is not None:
+                assert ate2 < odom2, (
+                    f"accuracy regression: {ate2} vs {odom2}"
+                )
+            if os.environ.get("BENCH_STATS") == "1":
+                for k, v in sess2.stats.summary().items():
+                    print(f"# stage {k}: {v}", file=sys.stderr)
+                    print(f"#   samples {sess2.stats.samples[k][:32]}",
+                          file=sys.stderr)
+                print(f"# solver "
+                      f"{getattr(sess2.mapper.solver, 'last_stats', None)}",
+                      file=sys.stderr)
+
+    if not measured:
+        # fallback: pass-1 throughput with compile stalls excluded
+        lat = np.asarray(lat1[5:])
+        steady = lat[lat < COMPILE_STALL_S]
+        scans_per_sec = (
+            float(len(steady) / steady.sum()) if steady.sum() > 0 else 0.0
+        )
+        print(f"# fallback pass-1 metric "
+              f"({int((lat >= COMPILE_STALL_S).sum())} stalls excluded)",
               file=sys.stderr)
 
     print(json.dumps({

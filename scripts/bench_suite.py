@@ -56,9 +56,10 @@ def _warehouse(aisles: int = 4, length: float = 30.0, pitch: float = 4.0):
             (w - 2, h - 2, -2, h - 2), (-2, h - 2, -2, -2)]
     for a in range(aisles):
         x = a * pitch + pitch / 2
-        # racks with a mid-aisle gap so loops can close crosswise
-        segs.append((x, 0.0, x, length / 2 - 1.5))
-        segs.append((x, length / 2 + 1.5, x, length))
+        # racks with a mid-aisle gap so loops can close crosswise; inset
+        # from y=0/length so the serpentine cross-legs clear the endpoints
+        segs.append((x, 0.5, x, length / 2 - 1.5))
+        segs.append((x, length / 2 + 1.5, x, length - 0.5))
         # rack clutter (distinct signatures per aisle against ambiguity)
         segs.append((x - 0.3 * ((a % 3) + 1), 2.0 + 3.0 * a,
                      x, 2.0 + 3.0 * a))
@@ -76,12 +77,12 @@ def _serpentine(aisles, length, pitch):
     return np.array(wps)
 
 
-def _laser():
+def _laser(beam_res_deg: float = 1.0 / 3):
     from slam_toolbox_tpu.core.scan import LaserConfig
 
     return LaserConfig(
         min_range=0.05, max_range=12.0, range_threshold=10.0,
-        angular_resolution=np.deg2rad(1.0 / 3),
+        angular_resolution=np.deg2rad(beam_res_deg),
     )
 
 
@@ -146,7 +147,7 @@ def cmd_config2(args) -> int:
     from slam_toolbox_tpu.api import SlamSession
     from slam_toolbox_tpu.io.dataset import LidarSimulator
 
-    laser = _laser()
+    laser = _laser(args.beam_res)
     world = _apartment()
     sim = LidarSimulator(world, laser, range_noise=0.01,
                          odom_noise=(0.015, 0.006), seed=7)
@@ -172,7 +173,7 @@ def cmd_config3(args) -> int:
     from slam_toolbox_tpu.io.dataset import LidarSimulator
     from slam_toolbox_tpu.mapper.lifelong import LifelongMapper
 
-    laser = _laser()
+    laser = _laser(args.beam_res)
     world, aisles, length, pitch = _warehouse()
     sim = LidarSimulator(world, laser, range_noise=0.01,
                          odom_noise=(0.012, 0.005), seed=11)
@@ -223,7 +224,7 @@ def cmd_config4(args) -> int:
     from slam_toolbox_tpu.api.slam import MatchType
     from slam_toolbox_tpu.io.dataset import LidarSimulator, ate_rmse
 
-    laser = _laser()
+    laser = _laser(args.beam_res)
     world, aisles, length, pitch = _warehouse()
     sim = LidarSimulator(world, laser, range_noise=0.01,
                          odom_noise=(0.012, 0.005), seed=13)
@@ -284,7 +285,7 @@ def cmd_config5(args) -> int:
     from slam_toolbox_tpu.api.merge import MapMerger
     from slam_toolbox_tpu.io.dataset import LidarSimulator
 
-    laser = _laser()
+    laser = _laser(args.beam_res)
     world, aisles, length, pitch = _warehouse()
     sessions = args.sessions
     tmp = tempfile.mkdtemp()
@@ -336,6 +337,9 @@ def main() -> int:
         p.add_argument("--full", action="store_true")
         p.add_argument("--laps", type=int, default=4)
         p.add_argument("--drain", type=int, default=8)
+        p.add_argument("--beam-res", dest="beam_res", type=float,
+                       default=1.0 / 3,
+                       help="beam angular resolution in degrees")
         p.add_argument("--sessions", type=int, default=3)
         p.add_argument("--budget", type=float, default=float(
             os.environ.get("BENCH_BUDGET_S", "600")))

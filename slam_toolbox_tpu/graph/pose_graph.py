@@ -338,18 +338,23 @@ class PoseGraph:
         )
         return chains, packs, means, covariances
 
-    def add_edges_finish(self, scan, pending) -> None:
+    def add_edges_finish(self, scan, pending, results=None) -> None:
         """Phase 2 of AddEdges: wait for the near-chain matches, accept
         links above the fine response threshold, and fuse all means into
-        the scan's sensor pose (ComputeWeightedMean, Mapper.cpp:1495-1497)."""
+        the scan's sensor pose (ComputeWeightedMean, Mapper.cpp:1495-1497).
+        `results` supplies pre-fetched MatchResults (the streaming drain
+        fetches every scan's packs in one stacked transfer)."""
         if pending is None:
             return
         chains, packs, means, covariances = pending
         cfg = self.mapper.config
         from slam_toolbox_tpu.utils.metrics import stage_timer
 
-        with stage_timer(self.mapper.stats, "near_chain_match"):
-            results = self.mapper.sequential_matcher.collect_batch(packs)
+        if results is None:
+            with stage_timer(self.mapper.stats, "near_chain_match"):
+                results = self.mapper.sequential_matcher.collect_batch(
+                    packs
+                )
         for chain, res in zip(chains, results):
             if res.response > cfg.link_match_minimum_response_fine - 1e-6:
                 means.append(res.sensor_pose)

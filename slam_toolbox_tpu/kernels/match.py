@@ -99,17 +99,18 @@ class _ScoreDispatch:
     """Keeps the `matcher._score_jit[(penalize, refine)]` call shape while
     penalize rides as a traced argument (one executable per refine)."""
 
-    def __init__(self, by_refine):
-        self.by_refine = by_refine
+    def __init__(self, matcher):
+        self.matcher = matcher
 
     def __getitem__(self, key):
         pen, refine = key
-        fn = self.by_refine[refine]
+        m = self.matcher
 
         def call(grid_flat, pgrid, center_off, local_pts, finite):
-            return fn(
+            return _score_jit(
                 grid_flat, pgrid, center_off, local_pts, finite,
-                penalize=jnp.bool_(pen),
+                penalize=jnp.bool_(pen), refine=refine,
+                **m._score_args, **m._score_static,
             )
 
         return call
@@ -177,10 +178,14 @@ class Matcher:
         self._fine_angle_res = self.fine_angle_offset
         self._na_fine = int(np.floor(
             self._fine_angle_offset * 2.0 / self._fine_angle_res + 0.5)) + 1
-        # two-program match pipeline with configuration baked as constants;
-        # chained asynchronously on device (see _raster_quant_impl).
-        # Coarse scoring uses the Pallas window kernel when the candidate
-        # count fits a lane block and the parity grid fits VMEM.
+        # two-program match pipeline chained asynchronously on device (see
+        # _raster_quant_impl). Coarse scoring uses the Pallas window kernel
+        # when the candidate count fits a lane block and the parity grid
+        # fits VMEM. The jitted programs are MODULE-LEVEL with the
+        # configuration as static arguments, so every Matcher instance
+        # with the same geometry (all sessions in a process) shares one
+        # compiled executable — on the tunneled TPU each distinct
+        # executable is a 15 s - minutes remote compile.
         from slam_toolbox_tpu.kernels import match_pallas as mp
 
         n_cand = len(self._xy_coarse)
@@ -192,40 +197,36 @@ class Matcher:
             and vmem_est < 12 * 2**20
             and jax.default_backend() == "tpu"
         )
-        self._raster_jit = jax.jit(
-            functools.partial(
-                _raster_quant_impl,
-                scale=np.float32(self.scale),
-                sigma_cells=np.float32(self.sigma_cells),
-                grid_size=self.G, half_kernel=self.half_kernel,
-                acc_r=self._acc_r, parity=self.use_pallas,
-            )
+        self._score_args = dict(
+            x_off_c=jnp.asarray(self._xy_coarse, jnp.float32),
+            y_off_c=jnp.asarray(self._xy_coarse, jnp.float32),
+            x_off_f=jnp.asarray(self._xy_fine, jnp.float32),
+            y_off_f=jnp.asarray(self._xy_fine, jnp.float32),
+            scale=np.float32(self.scale),
+            coarse_angle_offset=np.float32(self.coarse_angle_offset),
+            coarse_angle_res=np.float32(self.coarse_angle_resolution),
+            fine_angle_offset=np.float32(self._fine_angle_offset),
+            fine_angle_res=np.float32(self._fine_angle_res),
+            dist_var_penalty=self.penalty_params[0],
+            ang_var_penalty=self.penalty_params[1],
+            min_dist_pen=self.penalty_params[2],
+            min_ang_pen=self.penalty_params[3],
         )
-        # penalize is a traced argument so both penalty settings share one
-        # executable; only `refine` (structural) forks a variant
-        self._score_jit_by_refine = {}
-        for refine in (False, True):
-            fn = functools.partial(
-                _score_impl,
-                x_off_c=jnp.asarray(self._xy_coarse, jnp.float32),
-                y_off_c=jnp.asarray(self._xy_coarse, jnp.float32),
-                x_off_f=jnp.asarray(self._xy_fine, jnp.float32),
-                y_off_f=jnp.asarray(self._xy_fine, jnp.float32),
-                scale=np.float32(self.scale),
-                coarse_angle_offset=np.float32(self.coarse_angle_offset),
-                coarse_angle_res=np.float32(self.coarse_angle_resolution),
-                fine_angle_offset=np.float32(self._fine_angle_offset),
-                fine_angle_res=np.float32(self._fine_angle_res),
-                dist_var_penalty=self.penalty_params[0],
-                ang_var_penalty=self.penalty_params[1],
-                min_dist_pen=self.penalty_params[2],
-                min_ang_pen=self.penalty_params[3],
-                grid_size=self.G,
-                na_coarse=self._na_coarse, na_fine=self._na_fine,
-                refine=refine, acc_r=self._acc_r,
-            )
-            self._score_jit_by_refine[refine] = jax.jit(fn)
-        self._score_jit = _ScoreDispatch(self._score_jit_by_refine)
+        self._score_static = dict(
+            grid_size=self.G,
+            na_coarse=self._na_coarse, na_fine=self._na_fine,
+            acc_r=self._acc_r,
+        )
+        self._score_jit = _ScoreDispatch(self)
+
+    def _raster_jit(self, pts, valid, offset):
+        return _raster_jit(
+            pts, valid, offset,
+            scale=np.float32(self.scale),
+            sigma_cells=np.float32(self.sigma_cells),
+            grid_size=self.G, half_kernel=self.half_kernel,
+            acc_r=self._acc_r, parity=self.use_pallas,
+        )
 
     # -- raster construction ------------------------------------------------
     def build_grid(self, base_scans, viewpoint_pose: np.ndarray):
@@ -400,16 +401,11 @@ class Matcher:
         return packs
 
     @staticmethod
-    def collect_batch(packs):
-        """Wait for dispatched packs and convert to MatchResults (one
-        completion wait for the whole batch)."""
-        if not packs:
-            return []
-        packs[-1].block_until_ready()
+    def results_from_packed(rows) -> list:
+        """Convert host (M, 13) packed rows to MatchResults."""
         out = []
-        for p in packs:
-            packed = np.asarray(p, np.float64)
-            mean = packed[1:4]
+        for packed in np.asarray(rows, np.float64).reshape(-1, 13):
+            mean = packed[1:4].copy()
             mean[2] = _normalize(mean[2])
             out.append(MatchResult(
                 response=float(packed[0]),
@@ -417,6 +413,16 @@ class Matcher:
                 covariance=packed[4:13].reshape(3, 3),
             ))
         return out
+
+    @staticmethod
+    def collect_batch(packs):
+        """Wait for dispatched packs and convert to MatchResults (one
+        completion wait + one stacked fetch for the whole batch)."""
+        if not packs:
+            return []
+        stacked = jnp.stack(packs)
+        stacked.block_until_ready()
+        return Matcher.results_from_packed(np.asarray(stacked))
 
     def match_scans_batch(
         self, scan, base_sets, penalize: bool = True, refine: bool = True,
@@ -721,6 +727,19 @@ def _score_impl(
     )
     cov = cov.at[2, 2].set(var_th)
     return jnp.concatenate([best_f[None], mean_f, cov.reshape(-1)])
+
+
+# module-level jits: one executable per (geometry statics, shapes) shared
+# by every Matcher / pipeline / session in the process
+_score_jit = jax.jit(
+    _score_impl,
+    static_argnames=("grid_size", "na_coarse", "na_fine", "refine",
+                     "acc_r"),
+)
+_raster_jit = jax.jit(
+    _raster_quant_impl,
+    static_argnames=("grid_size", "half_kernel", "acc_r", "parity"),
+)
 
 
 def build_index_tables(angles, local_pts, center, offset, scale, x_off, y_off):

@@ -20,7 +20,6 @@ the TPU-native latency-hiding design (BASELINE.json north star).
 """
 from __future__ import annotations
 
-import functools
 from typing import List
 
 import jax
@@ -31,7 +30,7 @@ from slam_toolbox_tpu.core import geometry
 from slam_toolbox_tpu.kernels import rasterize as rz
 from slam_toolbox_tpu.kernels.match import _score_impl, _raster_quant_impl
 
-RESULT_CAP = 64
+RESULT_CAP = 128
 
 
 def _unpack_scan(pack):
@@ -174,9 +173,10 @@ def _stream_update_impl(
 def _stream_batch_impl(
     state, packs, odoms, n_valid,
     offset_pose, scale, sigma_cells, half_span,
-    grid_size: int, half_kernel: int, acc_r: int, parity: bool,
     run_buffer_size, run_max_distance,
-    score_kwargs: dict,
+    score_args: dict,
+    grid_size: int, half_kernel: int, acc_r: int, parity: bool,
+    na_coarse: int, na_fine: int,
 ):
     """One jitted program for a whole drain batch: lax.scan of
     (raster -> score -> state update) over N scans. Replaces 2N separate
@@ -184,6 +184,11 @@ def _stream_batch_impl(
     tunnel's per-program overhead (~4-6 ms) dominates at these kernel
     speeds. Steps with index >= n_valid leave the state untouched (the
     flush() tail pads the batch)."""
+    score_kwargs = dict(
+        score_args,
+        grid_size=grid_size, na_coarse=na_coarse, na_fine=na_fine,
+        acc_r=acc_r, refine=True,
+    )
 
     def step(st, inp):
         pack, odom, i = inp
@@ -206,6 +211,15 @@ def _stream_batch_impl(
         step, state, (packs, odoms, jnp.arange(N, dtype=jnp.int32))
     )
     return state
+
+
+# module-level jit: every pipeline with the same matcher geometry and
+# drain bucket shares one compiled executable across sessions
+_stream_batch_jit = jax.jit(
+    _stream_batch_impl,
+    static_argnames=("grid_size", "half_kernel", "acc_r", "parity",
+                     "na_coarse", "na_fine"),
+)
 
 
 def _compose(a, b):
@@ -257,39 +271,22 @@ class StreamingPipeline:
         self.K = int(mapper.config.scan_buffer_size)
         self.B = laser.n_beams
 
-        score_kwargs = dict(
-            x_off_c=jnp.asarray(m._xy_coarse, jnp.float32),
-            y_off_c=jnp.asarray(m._xy_coarse, jnp.float32),
-            x_off_f=jnp.asarray(m._xy_fine, jnp.float32),
-            y_off_f=jnp.asarray(m._xy_fine, jnp.float32),
-            scale=np.float32(m.scale),
-            coarse_angle_offset=np.float32(m.coarse_angle_offset),
-            coarse_angle_res=np.float32(m.coarse_angle_resolution),
-            fine_angle_offset=np.float32(m._fine_angle_offset),
-            fine_angle_res=np.float32(m._fine_angle_res),
-            penalize=np.bool_(True),
-            dist_var_penalty=m.penalty_params[0],
-            ang_var_penalty=m.penalty_params[1],
-            min_dist_pen=m.penalty_params[2],
-            min_ang_pen=m.penalty_params[3],
-            grid_size=m.G, na_coarse=m._na_coarse, na_fine=m._na_fine,
-            refine=True, acc_r=m._acc_r,
-        )
-        offset_pose = jnp.asarray(laser.offset_pose, jnp.float32)
-        self._prog_batch = jax.jit(functools.partial(
-            _stream_batch_impl,
-            offset_pose=offset_pose,
+        self._score_args = dict(m._score_args, penalize=np.bool_(True))
+        self._batch_args = dict(
+            offset_pose=jnp.asarray(laser.offset_pose, jnp.float32),
             scale=np.float32(m.scale),
             sigma_cells=np.float32(m.sigma_cells),
             half_span=np.float32(0.5 * (m.G - 1) * m.resolution),
-            grid_size=m.G, half_kernel=m.half_kernel,
-            acc_r=m._acc_r, parity=m.use_pallas,
             run_buffer_size=np.int32(self.K),
             run_max_distance=np.float32(
                 mapper.config.scan_buffer_maximum_scan_distance
             ),
-            score_kwargs=score_kwargs,
-        ))
+        )
+        self._batch_static = dict(
+            grid_size=m.G, half_kernel=m.half_kernel,
+            acc_r=m._acc_r, parity=m.use_pallas,
+            na_coarse=m._na_coarse, na_fine=m._na_fine,
+        )
 
         self.state = None
         self.pending: List = []
@@ -317,7 +314,7 @@ class StreamingPipeline:
             "results": jnp.zeros((RESULT_CAP, 13), jnp.float32),
             "n_results": jnp.int32(0),
         }
-        out = self._prog_batch(
+        out = self._run_batch(
             st,
             jnp.zeros((self.drain_every, B, 8), jnp.float32),
             jnp.zeros((self.drain_every, 3), jnp.float32),
@@ -431,11 +428,18 @@ class StreamingPipeline:
         for i, s in enumerate(scans):
             packs[i] = self._scan_stream_arrays(s)
             odoms[i] = s.odom_pose
-        self.state = self._prog_batch(
+        self.state = self._run_batch(
             self.state, jnp.asarray(packs), jnp.asarray(odoms),
             jnp.int32(len(scans)),
         )
         self._dispatched_since_refresh += len(scans)
+
+    def _run_batch(self, state, packs, odoms, n_valid):
+        return _stream_batch_jit(
+            state, packs, odoms, n_valid,
+            score_args=self._score_args,
+            **self._batch_args, **self._batch_static,
+        )
 
     def drain(self) -> None:
         """Fetch pending results and replay standard graph bookkeeping in
@@ -510,11 +514,32 @@ class StreamingPipeline:
                     sm.add_running_scan(scan)
                 sm.set_last_scan(scan)
                 staged.append((scan, pf))
-            # phase 2: collect near-chain matches, link + fuse
+            # phase 2: ONE stacked fetch for every scan's near-chain
+            # matches (a per-scan fetch costs a tunnel round trip each),
+            # then link + fuse
+            all_packs = []
+            for _, pf in staged:
+                if pf is not None:
+                    all_packs.extend(pf[1])
+            fetched = []
+            if all_packs:
+                from slam_toolbox_tpu.kernels.match import Matcher
+
+                with stage_timer(stats, "near_chain_match"):
+                    stacked = jnp.stack(all_packs)
+                    stacked.block_until_ready()
+                    fetched = Matcher.results_from_packed(
+                        np.asarray(stacked)
+                    )
+            k = 0
             for scan, pf in staged:
                 pose_before = scan.corrected_pose.copy()
+                res_i = None
+                if pf is not None:
+                    res_i = fetched[k:k + len(pf[1])]
+                    k += len(pf[1])
                 with stage_timer(stats, "graph_edges"):
-                    graph.add_edges_finish(scan, pf)
+                    graph.add_edges_finish(scan, pf, results=res_i)
                 if np.any(np.abs(scan.corrected_pose - pose_before) > 1e-7):
                     poses_moved = True  # near-chain fusion moved this scan
             # loop closure once per batch on the newest scan (candidate
