@@ -118,9 +118,10 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     budget = float(os.environ.get("BENCH_BUDGET_S", "480"))
     deadline = time.time() + budget
-    # drain cadence: scans/s 28 @8, 41 @16, 43 @24, 89 @32, 127 @48 with
-    # ATE flat at 0.014-0.016 m (loop closures still fire every batch)
-    drain = int(os.environ.get("BENCH_DRAIN", "48"))
+    # drain cadence (two-pass wall-clock): 57 scans/s @48, 76 @96 with ATE
+    # 0.016-0.018 m (loop closures still fire every batch; larger batches
+    # trade correction latency for throughput)
+    drain = int(os.environ.get("BENCH_DRAIN", "96"))
 
     cfg, laser, data = make_workload()
 
