@@ -127,9 +127,14 @@ def _run_session(sess, data, budget_s, tag):
             print(f"# {tag} budget reached at scan {i}", file=sys.stderr)
             break
     sess.flush()
-    lat = np.asarray(lat[5:])
-    steady = lat[lat < 5.0]
-    sps = float(len(steady) / steady.sum()) if steady.sum() > 0 else 0.0
+    wall = time.time() - t0
+    # honest wall-clock throughput: only one-time compile stalls (>5 s
+    # latencies) are subtracted from the denominator
+    lat = np.asarray(lat)
+    stall = float(lat[lat >= 5.0].sum())
+    sps = len(lat) / max(wall - stall, 1e-9)
+    print(f"# {tag} wall={wall:.1f}s stalls={stall:.1f}s "
+          f"scans={len(lat)}", file=sys.stderr)
     scans_done = sess.mapper.all_processed_scans()
     ate = None
     if scans_done and gt:
