@@ -60,9 +60,17 @@ def _warehouse(aisles: int = 4, length: float = 30.0, pitch: float = 4.0):
         # from y=0/length so the serpentine cross-legs clear the endpoints
         segs.append((x, 0.5, x, length / 2 - 1.5))
         segs.append((x, length / 2 + 1.5, x, length - 0.5))
-        # rack clutter (distinct signatures per aisle against ambiguity)
-        segs.append((x - 0.3 * ((a % 3) + 1), 2.0 + 3.0 * a,
-                     x, 2.0 + 3.0 * a))
+        # rack clutter: boxes jutting into the aisle every ~7 m with
+        # aisle-dependent offsets — real racks are not featureless, and
+        # without longitudinal texture correlative matching can slide
+        # along the aisle (observed as localization drift)
+        y0 = 2.0 + 1.3 * a
+        while y0 < length - 2.0:
+            d = 0.25 + 0.15 * ((a + int(y0)) % 3)
+            segs.append((x - d, y0, x, y0))
+            segs.append((x - d, y0, x - d, y0 + 0.6))
+            segs.append((x - d, y0 + 0.6, x, y0 + 0.6))
+            y0 += 6.5 + 0.9 * ((a * 7 + int(y0)) % 3)
     return SegmentWorld(segs), aisles, length, pitch
 
 
@@ -186,19 +194,18 @@ def cmd_config3(args) -> int:
     wps = np.concatenate([_serpentine(aisles, length, pitch)] * laps)
     data = sim.simulate(wps, step=0.3)
     print(f"# config3: {len(data)} raw scans, {laps} laps", file=sys.stderr)
-    sess = SlamSession(_cfg(), laser, streaming=False)
+    sess = SlamSession(_cfg(), laser, streaming=True,
+                       drain_every=args.drain)
     lifelong = LifelongMapper(sess.mapper)
+    sess._ensure_pipe().post_finish = lifelong.stream_hook
 
     t0 = time.time()
     lat = []
     t_prev = t0
-    from slam_toolbox_tpu.core.scan import LocalizedScan
-
     for i, (scan, tp) in enumerate(data):
-        s = LocalizedScan(laser, scan.ranges, scan.odom_pose, time=i * 0.1)
-        ok = lifelong.process(s)  # addScan + evaluateNodeDepreciation
+        out = sess.process_scan(scan.ranges, scan.odom_pose, time=i * 0.1)
         t_now = time.time()
-        if ok:
+        if out is not None:
             lat.append(t_now - t_prev)
         t_prev = t_now
         if i % 200 == 0:
@@ -207,13 +214,15 @@ def cmd_config3(args) -> int:
                   f"t={t_now-t0:.0f}s", file=sys.stderr, flush=True)
         if t_now - t0 > args.budget:
             break
-    lat = np.asarray(lat[5:])
-    steady = lat[lat < 5.0]
-    sps = float(len(steady) / steady.sum()) if steady.sum() > 0 else 0.0
+    sess.flush()
+    wall = time.time() - t0
+    lat = np.asarray(lat)
+    stall = float(lat[lat >= 5.0].sum())
+    sps = len(lat) / max(wall - stall, 1e-9)
     nodes = sess.mapper.solver.n_nodes
-    n_scans = len(lat) + 5
-    print(f"# config3 final nodes={nodes} after {n_scans} scans "
-          f"(decay bounds growth)", file=sys.stderr)
+    print(f"# config3 final nodes={nodes} after {len(lat)} scans "
+          f"(decay bounds growth); wall={wall:.1f}s stalls={stall:.1f}s",
+          file=sys.stderr)
     _emit("lifelong_warehouse_scans_per_sec", sps, "scans/s", 50.0)
     return 0
 
@@ -252,8 +261,12 @@ def cmd_config4(args) -> int:
     sim2 = LidarSimulator(world, laser, range_noise=0.01,
                           odom_noise=(0.012, 0.005), seed=29)
     data2 = sim2.simulate(_serpentine(aisles, length, pitch), step=0.3)
+    # localization returns the prior-propagated pose between drains, so
+    # the drain cadence bounds the online pose lag — keep it short here
+    # (throughput vs pose-freshness tradeoff; mapping uses long drains)
     loc = SlamSession(_cfg(minimum_travel_distance=0.2), laser,
-                      mode="localization")
+                      mode="localization", streaming=True,
+                      drain_every=min(args.drain, 8))
     loc.deserialize(snap, MatchType.LOCALIZE_AT_POSE,
                     initial_pose=data2[0][1])
     t0 = time.time()
@@ -272,7 +285,11 @@ def cmd_config4(args) -> int:
     steady = lat[lat < 5.0]
     sps = float(len(steady) / steady.sum()) if steady.sum() > 0 else 0.0
     rmse = float(np.sqrt(np.mean(np.square(err)))) if err else None
-    print(f"# config4 localization pose RMSE={rmse}", file=sys.stderr)
+    if err:
+        e = np.asarray(err)
+        print(f"# config4 localization err p50={np.percentile(e,50):.3f} "
+              f"p90={np.percentile(e,90):.3f} max={e.max():.3f} "
+              f"RMSE={rmse:.3f}", file=sys.stderr)
     assert rmse is None or rmse < 0.25, f"localization drift: {rmse}"
     _emit("localization_scans_per_sec", sps, "scans/s", 50.0)
     return 0

@@ -64,7 +64,8 @@ def cmd_demo(args) -> int:
     ])
     data = sim.simulate(waypoints, step=args.step)
     cfg = ONLINE_SYNC.replace(minimum_time_interval=3600.0)
-    sess = SlamSession(cfg, laser)
+    sess = SlamSession(cfg, laser, streaming=args.streaming,
+                       drain_every=args.drain)
     t0 = time.time()
     est, gt, odo = [], [], []
     for i, (scan, tp) in enumerate(data):
@@ -74,8 +75,12 @@ def cmd_demo(args) -> int:
             gt.append(tp)
             odo.append(scan.odom_pose)
     dt = time.time() - t0
-    est, gt, odo = np.stack(est), np.stack(gt), np.stack(odo)
-    _finish(sess, args.out, dt, len(est), est, gt, odo)
+    gt, odo = np.stack(gt), np.stack(odo)
+    # corrected trajectory at save time (includes loop-closure updates to
+    # old poses; with --streaming the per-scan outputs are priors anyway)
+    est = sess.trajectory
+    k = min(len(est), len(gt))
+    _finish(sess, args.out, dt, k, est[:k], gt[:k], odo[:k])
     return 0
 
 
@@ -92,7 +97,8 @@ def cmd_run(args) -> int:
         angular_resolution=float(z["angular_resolution"]),
     )
     cfg = ONLINE_SYNC.replace(minimum_time_interval=3600.0)
-    sess = SlamSession(cfg, laser)
+    sess = SlamSession(cfg, laser, streaming=args.streaming,
+                       drain_every=args.drain)
     t0 = time.time()
     est = []
     for i in range(len(z["ranges"])):
@@ -146,6 +152,10 @@ def main(argv=None) -> int:
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     d = sub.add_parser("demo", help="synthetic end-to-end demo run")
+    d.add_argument("--streaming", action="store_true",
+                   help="device-resident batched pipeline (TPU fast path)")
+    d.add_argument("--drain", type=int, default=48,
+                   help="streaming drain cadence (scans per device batch)")
     d.add_argument("--out", default="/tmp/slam_demo")
     d.add_argument("--seed", type=int, default=42)
     d.add_argument("--step", type=float, default=0.3)
@@ -154,6 +164,10 @@ def main(argv=None) -> int:
     r = sub.add_parser("run", help="run a recorded dataset (npz)")
     r.add_argument("--dataset", required=True)
     r.add_argument("--out", default="/tmp/slam_run")
+    r.add_argument("--streaming", action="store_true",
+                   help="device-resident batched pipeline (TPU fast path)")
+    r.add_argument("--drain", type=int, default=48,
+                   help="streaming drain cadence (scans per device batch)")
     r.set_defaults(fn=cmd_run)
 
     m = sub.add_parser("merge", help="merge serialized sessions")

@@ -63,7 +63,7 @@ class SlamSession:
         self.config = config or MapperConfig()
         self.laser = laser
         self.mapper = Mapper(self.config)
-        self.streaming = bool(streaming) and mode == "mapping"
+        self.streaming = bool(streaming)
         self.drain_every = drain_every
         self._pipe = None
         import threading
@@ -123,6 +123,15 @@ class SlamSession:
 
         cov = np.eye(3)
         pt = self.processor_type
+        streaming_path = self.streaming and (
+            pt == ProcessType.PROCESS
+            or (pt == ProcessType.PROCESS_LOCALIZATION
+                and not self.first_measurement)
+        )
+        if not streaming_path and self._pipe is not None:
+            # mode switch (relocalize / dock / initial pose): the classic
+            # path must see fully drained bookkeeping
+            self._pipe.drain()
         if pt == ProcessType.PROCESS and self.streaming:
             self._ensure_pipe()
             ok = self._pipe.process_scan(scan)
@@ -130,7 +139,7 @@ class SlamSession:
                 return None
             self.last_scan_time = scan.time
             self.last_scan_odom = np.array(scan.odom_pose)
-            return scan.corrected_pose, cov
+            return self._streaming_online_pose(scan), cov
         elif pt == ProcessType.PROCESS:
             ok = self.mapper.process(scan, covariance_out=cov)
         elif pt == ProcessType.PROCESS_FIRST_NODE:
@@ -151,11 +160,18 @@ class SlamSession:
                 else ProcessType.PROCESS
             )
         elif pt == ProcessType.PROCESS_LOCALIZATION:
-            if self.first_measurement and self.mapper.initialized is False:
-                # steady-state localization requires a prior graph
-                ok = self.mapper.process_localization(scan, covariance_out=cov)
-            else:
-                ok = self.mapper.process_localization(scan, covariance_out=cov)
+            if self.streaming and not self.first_measurement:
+                # steady-state elastic localization through the streaming
+                # pipeline: the rolling-buffer append/evict is host-side
+                # bookkeeping hooked into the drain (post_finish)
+                pipe = self._ensure_pipe()
+                ok = pipe.process_scan(scan)
+                if not ok:
+                    return None
+                self.last_scan_time = scan.time
+                self.last_scan_odom = np.array(scan.odom_pose)
+                return self._streaming_online_pose(scan), cov
+            ok = self.mapper.process_localization(scan, covariance_out=cov)
         else:
             return None
 
@@ -190,7 +206,37 @@ class SlamSession:
                 self._pipe = StreamingPipeline(
                     self.mapper, self.laser, drain_every=self.drain_every
                 )
+                if self.mode == "localization":
+                    self._pipe.post_finish = self._loc_post_finish
             return self._pipe
+
+    def _streaming_online_pose(self, scan) -> np.ndarray:
+        """Online pose between drains: the last drained correction
+        propagated through the odometry delta (the same prior the device
+        uses; exact once the scan itself has drained). Also maintains
+        map->odom like the classic path."""
+        last = self.mapper.sensor_manager.get_last_scan(self.laser.name)
+        if last is None:
+            pose = np.array(scan.corrected_pose)
+        else:
+            pose = np.asarray(geometry.transform_pose_between(
+                last.odom_pose, last.corrected_pose, scan.odom_pose
+            ))
+        self.map_to_odom = np.asarray(
+            geometry.compose(pose, geometry.inverse(scan.odom_pose))
+        )
+        self.last_pose = np.array(pose)
+        return pose
+
+    def _loc_post_finish(self, scan) -> bool:
+        """Elastic-buffer bookkeeping per drained scan
+        (AddScanToLocalizationBuffer, Mapper.cpp:2911-2962). Returns True
+        when eviction removed a node, so the pipeline resyncs its device
+        ring against the changed running buffer."""
+        m = self.mapper
+        n_before = len(m.localization_buffer)
+        m.add_scan_to_localization_buffer(scan)
+        return len(m.localization_buffer) <= n_before
 
     def flush(self) -> None:
         """Drain the streaming pipeline (no-op otherwise)."""
@@ -230,6 +276,8 @@ class SlamSession:
         """deserializePoseGraphCallback (slam_toolbox_common.cpp:1020-1079)."""
         from slam_toolbox_tpu.io.serialization import load_snapshot
 
+        self.flush()
+        self._pipe = None  # device state refers to the pre-load session
         load_snapshot(path, self.mapper)
         scans = self.mapper.all_processed_scans()
         if scans:
@@ -260,6 +308,7 @@ class SlamSession:
         return self.paused
 
     def reset(self) -> None:
+        self._pipe = None
         self.mapper.reset()
         self.scan_count = 0
         self.first_measurement = True

@@ -142,6 +142,22 @@ def make_distributed_gn_step(mesh: Mesh, n_nodes: int, cg_iters: int = 50):
     return jax.jit(sharded)
 
 
+def make_distributed_chi2(mesh: Mesh):
+    """Replicated chi2 from edge shards (one psum) — the LM accept/reject
+    probe, far cheaper than a full GN step."""
+
+    def f(poses, src, dst, rel, sqrt_info, emask):
+        r = edge_residual(poses, src, dst, rel, sqrt_info, emask)
+        return jax.lax.psum(jnp.sum(r * r), AXIS)
+
+    return jax.jit(jax.shard_map(
+        f, mesh=mesh,
+        in_specs=(P(), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS)),
+        out_specs=P(),
+        check_vma=False,
+    ))
+
+
 def distributed_lm_solve(
     mesh: Mesh,
     poses: np.ndarray,       # (N,3)
@@ -172,6 +188,7 @@ def distributed_lm_solve(
     )
     free_j = jnp.asarray(free, jnp.float32)
 
+    chi2_fn = make_distributed_chi2(mesh)
     lam = initial_lambda
     chi2 = None
     for _ in range(max_iterations):
@@ -181,11 +198,8 @@ def distributed_lm_solve(
         cur_chi2 = float(cur_chi2)
         if chi2 is None:
             chi2 = cur_chi2
-        # evaluate the step by recomputing chi2 at the proposal
-        _, new_chi2_probe = step(
-            new_poses, *args, free_j, jnp.float32(lam)
-        )
-        new_chi2 = float(new_chi2_probe)
+        # evaluate the proposal with the cheap chi2-only collective
+        new_chi2 = float(chi2_fn(new_poses, *args))
         if new_chi2 <= chi2:
             rel_dec = (chi2 - new_chi2) / max(chi2, 1e-30)
             poses_j = new_poses

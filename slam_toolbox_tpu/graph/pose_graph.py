@@ -62,7 +62,11 @@ class PoseGraph:
         self._q_edst = np.zeros(512, np.int64)
         self._q_ne = 0
         self._q_dirty = True        # structure invalid: full rebuild
-        self._q_xy_stale = True     # positions invalid: refresh rows
+        # positions invalid: either "ALL" (global pose correction) or a
+        # set of scan unique_ids whose pose moved (per-scan fusion) — a
+        # full refresh is O(N) barycenter recomputes (~50 us each), which
+        # at 10^4+ nodes would dominate every drain
+        self._q_xy_stale = "ALL"
         self._q_csr = None          # (indptr, indices) cache
         self._q_csr_ne = -1
 
@@ -109,7 +113,7 @@ class PoseGraph:
         for e in self.edges:
             self._q_add_edge(e.source.unique_id, e.target.unique_id)
         self._q_dirty = False
-        self._q_xy_stale = True
+        self._q_xy_stale = "ALL"
         self._q_csr = None
 
     def _query_structure(self):
@@ -119,9 +123,17 @@ class PoseGraph:
         n = len(self._q_scans)
         if self._q_xy_stale:
             use_bc = self.mapper.config.use_scan_barycenter
-            for i, s in enumerate(self._q_scans):
-                self._q_xy[i] = s.reference_pose(use_bc)[:2]
-            self._q_xy_stale = False
+            if self._q_xy_stale == "ALL":
+                for i, s in enumerate(self._q_scans):
+                    self._q_xy[i] = s.reference_pose(use_bc)[:2]
+            else:
+                for uid in self._q_xy_stale:
+                    i = self._q_uid_to_idx.get(uid)
+                    if i is not None:
+                        self._q_xy[i] = (
+                            self._q_scans[i].reference_pose(use_bc)[:2]
+                        )
+            self._q_xy_stale = set()
         if self._q_csr is None or self._q_csr_ne != self._q_ne:
             ne = self._q_ne
             src = self._q_esrc[:ne]
@@ -370,8 +382,9 @@ class PoseGraph:
                 )
             )
             scan.set_sensor_pose(fused)
-        self._bump()  # scan positions may have moved (query cache)
-        self._q_xy_stale = True
+        self._bump()  # this scan's position may have moved (query cache)
+        if self._q_xy_stale != "ALL":
+            self._q_xy_stale.add(scan.unique_id)
 
     def get_closest_scan_to_pose(self, scans, pose):
         """GetClosestScanToPose (Mapper.cpp:1563-1582)."""
@@ -575,4 +588,4 @@ class PoseGraph:
                 s.set_corrected_pose(pose)
         solver.clear()
         self._bump()
-        self._q_xy_stale = True
+        self._q_xy_stale = "ALL"

@@ -159,6 +159,16 @@ class LifelongMapper:
                 self.scores[c.unique_id] = score
         return removed
 
+    def stream_hook(self, scan) -> bool:
+        """post_finish hook for the streaming pipeline: run decay after
+        each drained scan; True when nodes were removed (device ring must
+        resync). Usage:
+            sess = SlamSession(cfg, laser, streaming=True)
+            ll = LifelongMapper(sess.mapper)
+            sess._ensure_pipe().post_finish = ll.stream_hook
+        """
+        return bool(self.evaluate_node_depreciation(scan))
+
     def _score(self, ref_scan, candidate, num_candidates) -> float:
         """computeScore (:255-292): recent scans and the first two nodes
         are protected."""

@@ -292,6 +292,11 @@ class StreamingPipeline:
         self.pending: List = []
         self._last_gate_scan = None
         self._dispatched_since_refresh = 0
+        # optional per-scan hook run after each scan's bookkeeping in the
+        # drain (localization mode appends to the elastic buffer here);
+        # returns True if it changed the graph/running buffer so the
+        # device state must resync
+        self.post_finish = None
 
     def warm(self) -> None:
         """Compile the batch program without touching pipeline state (a
@@ -484,6 +489,7 @@ class StreamingPipeline:
                 cov = np.eye(3)
             return cov
 
+        buffer_changed = False
         if n == 1:
             # single-scan drain: exactly the classic per-scan sequence
             scan = self.pending[0]
@@ -493,6 +499,8 @@ class StreamingPipeline:
             poses_moved = bool(
                 np.any(np.abs(scan.corrected_pose - pose_before) > 1e-7)
             )
+            if self.post_finish is not None:
+                buffer_changed = bool(self.post_finish(scan))
         else:
             # phase 1 (per scan): set poses from the fetched ring results,
             # add the vertex + host-side links, and DISPATCH the near-chain
@@ -542,6 +550,8 @@ class StreamingPipeline:
                     graph.add_edges_finish(scan, pf, results=res_i)
                 if np.any(np.abs(scan.corrected_pose - pose_before) > 1e-7):
                     poses_moved = True  # near-chain fusion moved this scan
+                if self.post_finish is not None:
+                    buffer_changed |= bool(self.post_finish(scan))
             # loop closure once per batch on the newest scan (candidate
             # chains persist across consecutive scans, so closures fire a
             # few scans later at most)
@@ -557,5 +567,5 @@ class StreamingPipeline:
         # fetched poses), so a resync is only needed when bookkeeping
         # moved poses (chain fusion, loop closure) — the common corridor
         # case skips the full state re-upload
-        if poses_moved or any_closed:
+        if poses_moved or any_closed or buffer_changed:
             self.refresh_state()

@@ -174,3 +174,43 @@ def test_map_merge(mapped_session, tmp_path):
     assert grid is not None
     assert grid.width > 250  # two 16 m maps 20 m apart at 0.1 res
     assert (grid.cells == 100).sum() > 100
+
+
+def test_localization_streaming_matches_classic(mapped_session):
+    """Streaming elastic localization: same bounded graph and comparable
+    accuracy as the classic per-scan path (the buffer append/evict is
+    hooked into the drain)."""
+    sess, path, data, world = mapped_session
+    laser, cfg = sim_config()
+    cfg = cfg.replace(scan_buffer_size=5)
+    loc = SlamSession(cfg, laser, mode="localization", streaming=True,
+                      drain_every=4)
+    loc.deserialize(path, MatchType.LOCALIZE_AT_POSE,
+                    initial_pose=data[0][0].odom_pose)
+    n_prior = loc.mapper.solver.n_nodes
+
+    sim = LidarSimulator(world, laser, range_noise=0.01,
+                         odom_noise=(0.01, 0.004), seed=23)
+    waypoints = np.array([(-6.0, -3.5), (0.0, -3.5), (3.0, -3.5)])
+    new_data = sim.simulate(waypoints, step=0.45)
+    n_done = 0
+    for i, (scan, tp) in enumerate(new_data):
+        out = loc.process_scan(scan.ranges, scan.odom_pose, time=i * 0.1)
+        if out is not None:
+            n_done += 1
+    loc.flush()
+    assert n_done > 6
+    # rolling buffer still bounds the graph under streaming
+    assert (
+        loc.mapper.solver.n_nodes <= n_prior + cfg.scan_buffer_size
+    ), f"{loc.mapper.solver.n_nodes} vs prior {n_prior}"
+    assert len(loc.mapper.localization_buffer) <= cfg.scan_buffer_size
+    # corrected poses (post-drain) localize within the prior map; buffer
+    # eviction removed older scans, so match survivors to ground truth by
+    # their scan time (i * 0.1)
+    gt = [tp for scan, tp in new_data]
+    errs = []
+    for s in loc.mapper.all_processed_scans()[n_prior:]:
+        i = int(round(s.time * 10.0))
+        errs.append(np.hypot(*(s.corrected_pose[:2] - gt[i][:2])))
+    assert errs and np.median(errs) < 0.5, f"median {np.median(errs)}"
