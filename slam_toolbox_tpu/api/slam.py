@@ -293,6 +293,29 @@ class SlamSession:
             self.processor_type = ProcessType.PROCESS_NEAR_REGION
             self.process_near_pose = np.asarray(initial_pose, np.float64)
 
+    def toggle_mode(self, mode: str) -> None:
+        """Runtime mapping<->localization switch (the map-and-localization
+        node's toggle service, slam_toolbox_map_and_localization.cpp:82-115).
+        Entering localization starts the elastic buffer from the next
+        scan; returning to mapping folds the buffered scans into the
+        permanent graph (they simply stop being evicted)."""
+        if mode not in ("mapping", "localization"):
+            raise ValueError(mode)
+        if mode == self.mode:
+            return
+        self.flush()
+        if mode == "mapping":
+            # buffered scans become permanent graph nodes
+            self.mapper.localization_buffer.clear()
+            self.processor_type = ProcessType.PROCESS
+        else:
+            self.processor_type = ProcessType.PROCESS_LOCALIZATION
+        self.mode = mode
+        if self._pipe is not None:
+            self._pipe.post_finish = (
+                self._loc_post_finish if mode == "localization" else None
+            )
+
     def set_initial_pose(self, pose) -> None:
         """/initialpose (localizePoseCallback,
         slam_toolbox_localization.cpp:240-270)."""

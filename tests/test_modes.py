@@ -214,3 +214,36 @@ def test_localization_streaming_matches_classic(mapped_session):
         i = int(round(s.time * 10.0))
         errs.append(np.hypot(*(s.corrected_pose[:2] - gt[i][:2])))
     assert errs and np.median(errs) < 0.5, f"median {np.median(errs)}"
+
+
+def test_toggle_mode_runtime(mapped_session):
+    """Map-and-localization: runtime mapping<->localization switch
+    (slam_toolbox_map_and_localization.cpp toggle service)."""
+    sess, path, data, world = mapped_session
+    laser, cfg = sim_config()
+    cfg = cfg.replace(scan_buffer_size=4)
+    s = SlamSession(cfg, laser, mode="mapping")
+    sim = LidarSimulator(world, laser, range_noise=0.01,
+                         odom_noise=(0.01, 0.004), seed=41)
+    wps = np.array([(-6.0, -3.5), (0.0, -3.5), (3.0, -3.5)])
+    d = sim.simulate(wps, step=0.45)
+    half = len(d) // 2
+    for i, (scan, tp) in enumerate(d[:half]):
+        s.process_scan(scan.ranges, scan.odom_pose, time=i * 0.1)
+    n_mapping = s.mapper.solver.n_nodes
+    s.toggle_mode("localization")
+    for i, (scan, tp) in enumerate(d[half:]):
+        s.process_scan(scan.ranges, scan.odom_pose, time=(half + i) * 0.1)
+    # localization bounds growth to the buffer size
+    assert s.mapper.solver.n_nodes <= n_mapping + cfg.scan_buffer_size
+    n_loc = s.mapper.solver.n_nodes
+    s.toggle_mode("mapping")
+    assert s.mode == "mapping"
+    # buffered nodes became permanent; mapping adds nodes again
+    sim2 = LidarSimulator(world, laser, range_noise=0.01,
+                          odom_noise=(0.01, 0.004), seed=43)
+    d2 = sim2.simulate(np.array([(3.0, -3.5), (5.0, -3.5)]), step=0.45)
+    for i, (scan, tp) in enumerate(d2):
+        s.process_scan(scan.ranges, scan.odom_pose,
+                       time=(len(d) + i) * 0.1)
+    assert s.mapper.solver.n_nodes > n_loc
