@@ -154,15 +154,15 @@ def main():
                       file=sys.stderr)
 
     if not measured:
-        # fallback: pass-1 throughput with compile stalls excluded
-        lat = np.asarray(lat1[5:])
-        steady = lat[lat < COMPILE_STALL_S]
-        scans_per_sec = (
-            float(len(steady) / steady.sum()) if steady.sum() > 0 else 0.0
-        )
-        print(f"# fallback pass-1 metric "
-              f"({int((lat >= COMPILE_STALL_S).sum())} stalls excluded)",
-              file=sys.stderr)
+        # fallback: pass-1 wall-clock with only compile stalls (>5 s
+        # latencies) subtracted from the denominator — NOT the per-scan
+        # stall filter, which drops whole-drain latencies at large
+        # drain_every and inflates the number
+        lat = np.asarray(lat1)
+        stall = float(lat[lat >= COMPILE_STALL_S].sum())
+        scans_per_sec = n1 / max(wall1 - stall, 1e-9)
+        print(f"# fallback pass-1 metric: wall={wall1:.1f}s "
+              f"stalls={stall:.1f}s", file=sys.stderr)
 
     print(json.dumps({
         "metric": "online_sync_scans_per_sec_1chip",

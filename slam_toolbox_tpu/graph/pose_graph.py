@@ -57,6 +57,9 @@ class PoseGraph:
         # Python per query (matters at the 10^5-node localization scale)
         self._q_scans: List = []
         self._q_uid_to_idx: Dict[int, int] = {}
+        # per-sensor query indices in state-id order (the loop-closure
+        # sweep order; state ids are monotone so append keeps it sorted)
+        self._q_by_name: Dict[str, List[int]] = {}
         self._q_xy = np.zeros((256, 2))
         self._q_esrc = np.zeros(512, np.int64)
         self._q_edst = np.zeros(512, np.int64)
@@ -78,6 +81,7 @@ class PoseGraph:
         i = len(self._q_scans)
         self._q_scans.append(scan)
         self._q_uid_to_idx[scan.unique_id] = i
+        self._q_by_name.setdefault(scan.laser.name, []).append(i)
         if i >= len(self._q_xy):
             self._q_xy = np.resize(self._q_xy, (2 * len(self._q_xy), 2))
         use_bc = self.mapper.config.use_scan_barycenter
@@ -99,9 +103,12 @@ class PoseGraph:
     def _q_rebuild(self) -> None:
         self._q_scans = []
         self._q_uid_to_idx = {}
+        self._q_by_name = {}
         for name in self.vertices:
-            for s in self.vertices[name].values():
-                self._q_scans.append(s)
+            idxs = self._q_by_name.setdefault(name, [])
+            for sid in sorted(self.vertices[name]):
+                idxs.append(len(self._q_scans))
+                self._q_scans.append(self.vertices[name][sid])
         self._q_uid_to_idx = {
             s.unique_id: i for i, s in enumerate(self._q_scans)
         }
@@ -478,6 +485,36 @@ class PoseGraph:
         use_bc = cfg.use_scan_barycenter
         pose = scan.reference_pose(use_bc)[:2]
         max_sq = cfg.loop_search_maximum_distance**2 + 1e-6
+
+        from slam_toolbox_tpu import native
+
+        if native.get_lib() is not None:
+            # native sweep over the incremental query structure (the
+            # per-sensor slot list is in state-id order); start_id is the
+            # resume SLOT here — callers treat it opaquely
+            scans, uid_to_idx, xy, indptr, indices = self._query_structure()
+            start = uid_to_idx.get(scan.unique_id)
+            near = np.zeros(len(scans), np.uint8)
+            if start is not None:
+                order = native.bfs_within_radius(
+                    xy, indptr, indices, start, pose,
+                    cfg.loop_search_maximum_distance,
+                )
+                near[order] = 1
+            slots = np.asarray(
+                self._q_by_name.get(sensor_name, []), np.int64
+            )
+            if len(slots) == 0:
+                return [], start_id
+            res = native.loop_candidate_sweep(
+                np.ascontiguousarray(xy[slots]),
+                np.ones(len(slots), np.uint8),
+                np.ascontiguousarray(near[slots]),
+                pose, cfg.loop_search_maximum_distance,
+                cfg.loop_match_minimum_chain_size, start_id,
+            )
+            chain_slots, next_start = res
+            return [scans[slots[j]] for j in chain_slots], next_start
 
         near_linked = {
             s.unique_id
