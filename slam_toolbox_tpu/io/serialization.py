@@ -26,7 +26,10 @@ def save_snapshot(mapper, path: str) -> None:
     n = len(scans)
     B = max((s.laser.n_beams for s in scans), default=0)
 
-    ranges = np.full((n, B), np.nan)
+    # ranges in f32: the matcher quantizes world points to >=1 cm cells,
+    # f32's 2e-5 m at 20 m is far below that; halves the snapshot (a
+    # 100k-node graph at 1081 beams is 432 MB raw instead of 865)
+    ranges = np.full((n, B), np.nan, np.float32)
     odom = np.zeros((n, 3))
     corrected = np.zeros((n, 3))
     times = np.zeros(n)

@@ -37,8 +37,10 @@ def test_roundtrip_preserves_graph(short_run):
     for a, b in zip(s1, s2):
         np.testing.assert_allclose(a.corrected_pose, b.corrected_pose,
                                    atol=1e-9)
+        # ranges round-trip through f32 storage (2e-5 m at 20 m — far
+        # below the >=1 cm matcher cell size)
         np.testing.assert_allclose(
-            np.nan_to_num(a.ranges), np.nan_to_num(b.ranges), atol=1e-9
+            np.nan_to_num(a.ranges), np.nan_to_num(b.ranges), atol=3e-5
         )
         assert a.unique_id == b.unique_id and a.state_id == b.state_id
 
