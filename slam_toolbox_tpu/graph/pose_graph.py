@@ -551,51 +551,85 @@ class PoseGraph:
         front and coarse-matched in one batched dispatch; after a closure
         the sweep restarts from the following id with the corrected poses
         (the reference interleaves sweep and match — same chain set)."""
+        from slam_toolbox_tpu.utils.metrics import stage_timer
+
         cfg = self.mapper.config
         closed = False
         start_id = 0
         while True:
             chains = []
-            while True:
-                chain, start_id = self.find_possible_loop_closure(
-                    scan, sensor_name, start_id
-                )
-                if not chain:
-                    break
-                chains.append(chain)
+            with stage_timer(self.mapper.stats, "loop_candidates"):
+                while True:
+                    chain, start_id = self.find_possible_loop_closure(
+                        scan, sensor_name, start_id
+                    )
+                    if not chain:
+                        break
+                    chains.append(chain)
             if not chains:
                 return closed
-            from slam_toolbox_tpu.utils.metrics import stage_timer
-
+            self.mapper.stats.note(
+                "loop_chains", len(chains),
+                sum(len(c) for c in chains),
+            )
             with stage_timer(self.mapper.stats, "loop_coarse_match"):
                 coarse_results = self.mapper.loop_matcher.match_scans_batch(
                     scan, chains, penalize=False, refine=False
                 )
-            closed_this_round = False
+            # coarse gates (Mapper.cpp:1523-1525); fine verification for
+            # every passing chain is DISPATCHED at once and fetched with a
+            # single completion wait — the reference verifies sequentially,
+            # but all candidates are evaluated at the same pre-closure
+            # poses, and taking the first passing chain in order makes the
+            # outcome identical while saving a tunnel round trip per extra
+            # candidate
+            from slam_toolbox_tpu.core.scan import LocalizedScan
+            from slam_toolbox_tpu.kernels.match import Matcher
+
+            passing = []
             for chain, coarse in zip(chains, coarse_results):
-                if not (
+                if (
                     coarse.response > cfg.loop_match_minimum_response_coarse
                     and coarse.covariance[0, 0]
                     < cfg.loop_match_maximum_variance_coarse
                     and coarse.covariance[1, 1]
                     < cfg.loop_match_maximum_variance_coarse
                 ):
-                    continue
-                # fine verification on a temporary copy seeded at the
-                # coarse pose (Mapper.cpp:1527-1535)
-                from slam_toolbox_tpu.core.scan import LocalizedScan
-
-                tmp = LocalizedScan(
-                    scan.laser, scan.ranges, scan.odom_pose, scan.time
-                )
-                tmp.state_id = scan.state_id
-                tmp.unique_id = scan.unique_id
-                tmp.set_corrected_pose(scan.corrected_pose)
-                tmp.set_sensor_pose(coarse.sensor_pose)
+                    passing.append((chain, coarse))
+            fine_results = []
+            if passing:
                 with stage_timer(self.mapper.stats, "loop_fine_match"):
-                    fine = self.mapper.sequential_matcher.match_scan(
-                        tmp, chain, penalize=False
-                    )
+                    seq = self.mapper.sequential_matcher
+                    packs, tmps = [], []
+                    for chain, coarse in passing:
+                        # temporary copy seeded at the coarse pose
+                        # (Mapper.cpp:1527-1535)
+                        tmp = LocalizedScan(
+                            scan.laser, scan.ranges, scan.odom_pose,
+                            scan.time,
+                        )
+                        tmp.state_id = scan.state_id
+                        tmp.unique_id = scan.unique_id
+                        tmp.set_corrected_pose(scan.corrected_pose)
+                        tmp.set_sensor_pose(coarse.sensor_pose)
+                        tmps.append(tmp)
+                        packs.extend(seq.dispatch_scans_batch(
+                            tmp, [chain], penalize=False
+                        ))
+                    fine_results = Matcher.collect_batch(packs)
+                    # response-expansion fallback (rare: zero response)
+                    from slam_toolbox_tpu.core.geometry import KT_TOLERANCE
+
+                    for i, fine in enumerate(fine_results):
+                        if (
+                            abs(fine.response) <= KT_TOLERANCE
+                            and seq.use_response_expansion
+                        ):
+                            fine_results[i] = seq.match_scan(
+                                tmps[i], passing[i][0], penalize=False,
+                            )
+            closed_this_round = False
+            for (chain, coarse), fine in zip(passing, fine_results):
                 if fine.response >= cfg.loop_match_minimum_response_fine:
                     self.mapper.fire_loop_closure("Closing loop...")
                     scan.set_sensor_pose(fine.sensor_pose)

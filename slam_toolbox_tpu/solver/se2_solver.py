@@ -447,6 +447,9 @@ class PoseGraphSolver:
             except Exception:
                 pass  # fall through to the single-device path
 
+        import time as _time
+
+        t_assemble = _time.perf_counter()
         cfg = self.config
         # generous pow2 floors: one executable covers the whole session
         # until the graph outgrows it (each (n_pad, e_pad) bucket is a
@@ -475,6 +478,7 @@ class PoseGraphSolver:
         # the chain preconditioner solves the odometry backbone exactly,
         # so the CG budget no longer needs to scale with graph size
         cg_iters = cfg.cg_max_iterations
+        t_device = _time.perf_counter()
         poses_out, chi2_out, iters = lm_solve(
             jnp.asarray(poses),
             jnp.asarray(src), jnp.asarray(dst), jnp.asarray(rel),
@@ -488,11 +492,20 @@ class PoseGraphSolver:
             cg_iters=cg_iters,
         )
         poses_out.block_until_ready()  # see match.py: fetch-backoff
+        t_fetch = _time.perf_counter()
+        # keep iters/chi2 as device scalars: each int()/float() here would
+        # be its own ~25 ms tunnel fetch; they resolve lazily when the
+        # stats are actually printed (off the hot path)
         self.last_stats = {
-            "n": n, "e": e, "lm_iters": int(iters),
-            "chi2": float(chi2_out),
+            "n": n, "e": e, "lm_iters": iters, "chi2": chi2_out,
         }
         result = np.asarray(poses_out[:n], dtype=np.float64)
+        t_done = _time.perf_counter()
+        self.last_stats.update(
+            assemble_ms=round(1e3 * (t_device - t_assemble), 2),
+            device_ms=round(1e3 * (t_fetch - t_device), 2),
+            fetch_ms=round(1e3 * (t_done - t_fetch), 2),
+        )
         self.corrections = [
             (node_id, result[i].copy()) for i, node_id in enumerate(self._ids)
         ]

@@ -35,6 +35,14 @@ class Stats:
         if self.enabled:
             self.counts[stage] += n
 
+    def note(self, stage: str, *values) -> None:
+        """Record a sample tuple (e.g. batch sizes) without timing."""
+        if self.enabled:
+            self.counts[stage] += 1
+            s = self.samples[stage]
+            if len(s) < self.MAX_SAMPLES:
+                s.append(values)
+
     def summary(self) -> Dict[str, dict]:
         return {
             k: {
