@@ -91,6 +91,16 @@ class LaserConfig:
                    beam_count=751)
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=64)
+def _beam_trig(laser: LaserConfig):
+    """(cos, sin) of the beam angles — constant per laser model."""
+    a = laser.beam_angles
+    return np.cos(a), np.sin(a)
+
+
 class LocalizedScan:
     """A lidar scan with odometric and corrected robot poses.
 
@@ -103,6 +113,7 @@ class LocalizedScan:
         "laser", "ranges", "odom_pose", "corrected_pose", "time",
         "state_id", "unique_id", "_points", "_valid", "_barycenter", "_bbox",
         "_fvp", "_dev_local", "_stream_arrays",
+        "_local_pts", "_filtered", "_local_bary",
     )
 
     def __init__(self, laser: LaserConfig, ranges, odom_pose, time: float = 0.0):
@@ -120,6 +131,9 @@ class LocalizedScan:
         self._fvp = None
         self._dev_local = None
         self._stream_arrays = None
+        self._local_pts = None
+        self._filtered = None
+        self._local_bary = None
 
     # -- pose accessors (Karto.h:5536-5596) --------------------------------
     @property
@@ -157,13 +171,17 @@ class LocalizedScan:
         self._fvp = None
 
     # -- derived quantities (the reference's Update(), Karto.h:5644-5704) --
+    # ranges are immutable, so everything in the SENSOR frame is cached
+    # once per scan; pose changes only invalidate the world-frame caches
     @property
     def local_points(self) -> np.ndarray:
         """(B, 2) beam endpoints in the sensor frame; NaN ranges give NaN."""
-        a = self.laser.beam_angles
-        return np.stack(
-            [self.ranges * np.cos(a), self.ranges * np.sin(a)], axis=-1
-        )
+        if self._local_pts is None:
+            ca, sa = _beam_trig(self.laser)
+            self._local_pts = np.stack(
+                [self.ranges * ca, self.ranges * sa], axis=-1
+            )
+        return self._local_pts
 
     @property
     def finite_mask(self) -> np.ndarray:
@@ -172,11 +190,13 @@ class LocalizedScan:
     @property
     def filtered_mask(self) -> np.ndarray:
         """Beams inside [min_range, range_threshold] (Karto.h:5660)."""
-        return (
-            np.isfinite(self.ranges)
-            & (self.ranges >= self.laser.min_range)
-            & (self.ranges <= self.laser.range_threshold)
-        )
+        if self._filtered is None:
+            self._filtered = (
+                np.isfinite(self.ranges)
+                & (self.ranges >= self.laser.min_range)
+                & (self.ranges <= self.laser.range_threshold)
+            )
+        return self._filtered
 
     def points_world(self, filtered: bool = False) -> np.ndarray:
         """(B, 2) world beam endpoints from the corrected sensor pose.
@@ -202,13 +222,29 @@ class LocalizedScan:
 
     @property
     def barycenter(self) -> np.ndarray:
-        """Mean of filtered world points as a heading-0 pose (Karto.h:5687)."""
+        """Mean of filtered world points as a heading-0 pose (Karto.h:5687).
+
+        The mean commutes with the rigid transform, so it is computed once
+        over the (pose-independent) local points and re-projected per pose —
+        pose updates (e.g. a whole-graph correction) do not force a full
+        world-point recompute for every scan."""
         if self._barycenter is None:
-            pts = self.points_world(filtered=True)
-            if len(pts) > 0:
-                self._barycenter = np.array([pts[:, 0].mean(), pts[:, 1].mean(), 0.0])
+            if self._local_bary is None:
+                lp = self.local_points[self.filtered_mask]
+                self._local_bary = (
+                    lp.mean(axis=0) if len(lp) > 0 else False
+                )
+            sp = self.sensor_pose
+            if self._local_bary is False:
+                self._barycenter = np.array(sp)
             else:
-                self._barycenter = np.array(self.sensor_pose)
+                c, s = np.cos(sp[2]), np.sin(sp[2])
+                mx, my = self._local_bary
+                self._barycenter = np.array([
+                    sp[0] + c * mx - s * my,
+                    sp[1] + s * mx + c * my,
+                    0.0,
+                ])
         return self._barycenter
 
     @property

@@ -477,10 +477,25 @@ class Matcher:
         return float(best), mean, np.asarray(cov, np.float64)
 
 
+def _flat_parts(gy, gx, G, parity_acc_r):
+    """Separable (y-part, x-part) of the flat gather index; sum gives the
+    cell's index into grid_flat. parity_acc_r selects the parity layout
+    (grid_flat = pgrid.reshape(-1)); None = plain row-major grid."""
+    if parity_acc_r is None:
+        return gy * G, gx
+    from slam_toolbox_tpu.kernels import match_pallas as mp
+
+    hp, wp = mp.parity_dims(G, parity_acc_r)
+    ya = 2 * (gy & 1) * (hp * wp) + ((gy >> 1) + mp.PAD_TOP) * wp
+    xa = (gx & 1) * (hp * wp) + (gx >> 1) + mp.PAD_LEFT
+    return ya, xa
+
+
 def _score_tensor(
     grid_flat, G, sink, cand_x, cand_y, d, finite,
     x_offsets, y_offsets, angles, center_h,
     penalize, dist_var_penalty, ang_var_penalty, min_dist_pen, min_ang_pen,
+    parity_acc_r=None,
 ):
     """Response tensor (na, ny, nx) from integer gather tables — shared by
     the exact two-call path and the fused single-call path."""
@@ -493,7 +508,8 @@ def _score_tensor(
         oky[:, :, :, None] & okx[:, :, None, :]
         & finite[None, :, None, None]
     )
-    flat = jnp.where(ok, gy[:, :, :, None] * G + gx[:, :, None, :], sink)
+    ya, xa = _flat_parts(gy, gx, G, parity_acc_r)
+    flat = jnp.where(ok, ya[:, :, :, None] + xa[:, :, None, :], sink)
     vals = jnp.take(grid_flat, flat, axis=0)
     resp = jnp.sum(vals.astype(jnp.int32), axis=1).astype(jnp.float32) / (
         jnp.float32(B) * 100.0
@@ -566,13 +582,15 @@ def _positional_cov(probs, best, avg_x, avg_y, center, x_offsets, y_offsets,
 
 
 def _angular_cov(grid_flat, G, sink, offset, scale, d_fine, finite,
-                 avg, best, center_h, angles, angle_step):
+                 avg, best, center_h, angles, angle_step,
+                 parity_acc_r=None):
     bx = rz.round_half_away((avg[0] - offset[0]) * scale).astype(jnp.int32)
     by = rz.round_half_away((avg[1] - offset[1]) * scale).astype(jnp.int32)
     agx = d_fine[:, :, 0] + bx
     agy = d_fine[:, :, 1] + by
     aok = (agx >= 0) & (agx < G) & (agy >= 0) & (agy < G) & finite[None, :]
-    aflat = jnp.where(aok, agy * G + agx, sink)
+    ya, xa = _flat_parts(agy, agx, G, parity_acc_r)
+    aflat = jnp.where(aok, ya + xa, sink)
     avals = jnp.take(grid_flat, aflat, axis=0)
     B = d_fine.shape[1]
     resp_a = jnp.sum(avals.astype(jnp.int32), axis=1).astype(jnp.float32) / (
@@ -600,18 +618,28 @@ def _raster_quant_impl(
     the scoring gathers into one module makes XLA's fusion planner blow up
     (compile minutes, ~150 ms/run vs ~1 ms split). The match pipeline
     chains the programs asynchronously on device — no host sync between —
-    so the split costs only a dispatch."""
+    so the split costs only a dispatch.
+
+    parity=True rasterizes DIRECTLY into the padded parity layout
+    (match_pallas.rasterize_parity) and returns it both as the Pallas
+    input and flattened for the fine/angular gathers (which then index it
+    via parity_flat_index) — the full-grid raster + int8 parity
+    reshape/transpose it replaces cost 2.7 ms/scan on TPU."""
+    if parity:
+        from slam_toolbox_tpu.kernels import match_pallas as mp
+
+        pgrid = mp.rasterize_parity(
+            pts, valid, offset, scale, sigma_cells,
+            grid_size, half_kernel, acc_r,
+        )
+        return pgrid.reshape(-1), pgrid
     grid = rz.rasterize_smear(
         pts, valid, offset, scale, sigma_cells, grid_size, half_kernel
     )
     q2d = rz.round_half_away(grid * 100.0).astype(jnp.int8)
     q = q2d.reshape(-1)
     flat = jnp.concatenate([q, jnp.zeros((1,), jnp.int8)])
-    if not parity:
-        return flat, None
-    from slam_toolbox_tpu.kernels import match_pallas as mp
-
-    return flat, mp.prepare_parity_grid(q2d, acc_r)
+    return flat, None
 
 
 def _score_impl(
@@ -639,7 +667,10 @@ def _score_impl(
     G = grid_size
     center = center_off[:3]
     offset = center_off[3:5]
-    sink = G * G
+    # parity path: grid_flat is pgrid.reshape(-1); index 0 is a
+    # guaranteed-zero border cell (the sink for invalid gathers)
+    par = acc_r if pgrid is not None else None
+    sink = 0 if pgrid is not None else G * G
     B = local_pts.shape[0]
 
     # coarse pass
@@ -716,7 +747,7 @@ def _score_impl(
         grid_flat, G, sink, cand_xf, cand_yf, d_f, finite,
         x_off_f, y_off_f, ang_f, mean_c[2],
         penalize, dist_var_penalty, ang_var_penalty,
-        min_dist_pen, min_ang_pen,
+        min_dist_pen, min_ang_pen, parity_acc_r=par,
     )
     best_f, mean_f = _tie_average(
         resp_f, mean_c[0] + x_off_f, mean_c[1] + y_off_f, ang_f
@@ -724,6 +755,7 @@ def _score_impl(
     var_th = _angular_cov(
         grid_flat, G, sink, offset, scale, d_f, finite,
         mean_f, best_f, mean_c[2], ang_f, fine_angle_res,
+        parity_acc_r=par,
     )
     cov = cov.at[2, 2].set(var_th)
     return jnp.concatenate([best_f[None], mean_f, cov.reshape(-1)])

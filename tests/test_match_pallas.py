@@ -57,3 +57,58 @@ def test_prepare_tables_negative_coords():
     assert r == -3 + mp.PAD_TOP  # floor(-5/2) = -3
     assert c == -2 + mp.PAD_LEFT
     assert v == 1
+
+
+@pytest.mark.parametrize("G,hk", [(101, 5), (100, 4), (257, 10)])
+def test_rasterize_parity_matches_split_raster(G, hk):
+    """Direct-parity scatter+smear+quantize must be bit-exact vs the
+    full-grid raster followed by prepare_parity_grid."""
+    from slam_toolbox_tpu.kernels import rasterize as rz
+    from slam_toolbox_tpu.kernels.match import _raster_quant_impl
+
+    rng = np.random.default_rng(G)
+    P = 256
+    pts = jnp.asarray(
+        rng.uniform(-0.1 * G, 1.1 * G, (P, 2)).astype(np.float32) * 0.01
+    )
+    valid = jnp.asarray(rng.random(P) < 0.9)
+    offset = jnp.zeros(2, jnp.float32)
+    scale, sigma = np.float32(100.0), np.float32(hk / 2.0)
+
+    grid = rz.rasterize_smear(pts, valid, offset, scale, sigma, G, hk)
+    q2d = rz.round_half_away(grid * 100.0).astype(jnp.int8)
+    ref = np.asarray(mp.prepare_parity_grid(q2d, 32))
+
+    got = np.asarray(mp.rasterize_parity(
+        pts, valid, offset, scale, sigma, G, hk, 32
+    ))
+    np.testing.assert_array_equal(got, ref)
+
+    # and the fused producer returns (flat view, parity grid)
+    flat, pgrid = _raster_quant_impl(
+        pts, valid, offset, scale, sigma, G, hk, 32, True
+    )
+    np.testing.assert_array_equal(np.asarray(pgrid), ref)
+    np.testing.assert_array_equal(
+        np.asarray(flat), ref.reshape(-1)
+    )
+
+
+def test_parity_flat_index_gathers_match():
+    """_flat_parts parity indexing reads the same cells as row-major."""
+    from slam_toolbox_tpu.kernels.match import _flat_parts
+
+    G, acc_r = 101, 32
+    rng = np.random.default_rng(7)
+    grid2d = rng.integers(0, 101, (G, G)).astype(np.int8)
+    pgrid = np.asarray(mp.prepare_parity_grid(jnp.asarray(grid2d), acc_r))
+    pflat = pgrid.reshape(-1)
+    gy = jnp.asarray(rng.integers(0, G, 500).astype(np.int32))
+    gx = jnp.asarray(rng.integers(0, G, 500).astype(np.int32))
+    ya, xa = _flat_parts(gy, gx, G, acc_r)
+    got = pflat[np.asarray(ya + xa)]
+    np.testing.assert_array_equal(
+        got, grid2d[np.asarray(gy), np.asarray(gx)]
+    )
+    # index 0 (the invalid-gather sink) is a zero border cell
+    assert pflat[0] == 0
