@@ -59,7 +59,7 @@ def parity_dims(G: int, acc_r: int = 32):
     return hp, wp
 
 
-BEAM_UNROLL = 4          # beams per loop iteration (tables pad B to x4)
+BEAM_UNROLL = 8          # beams per loop iteration (tables pad B to x8)
 
 
 def _make_score_kernel(acc_r: int):
@@ -78,19 +78,24 @@ def _make_score_kernel(acc_r: int):
             phi = r - ra
             ca = pl.multiple_of((c // ACC_C) * ACC_C, ACC_C)
             phic = c - ca
-            w2 = pgrid_ref[p, pl.ds(ra, read_r), pl.ds(ca, READ_C)]
-            # Mosaic's dynamic rotate needs 32-bit data: widen, then
-            # left-rotate lanes by phic so the window starts at lane 0
-            w2 = w2.astype(jnp.int32)
-            w2 = pltpu.roll(w2, (READ_C - phic) % READ_C, axis=1)
-            w = w2[:, :ACC_C]
+            w8 = pgrid_ref[p, pl.ds(ra, read_r), pl.ds(ca, READ_C)]
+            # Mosaic's dynamic rotate needs 32-bit data; instead of
+            # widening (4x the vector work), bitcast the int8 tile to
+            # 4-row-packed int32 words and roll THOSE: a lane permutation
+            # commutes with the vertical packing, so bitcast-roll-bitcast
+            # is exactly a column roll at 1/4 the cost, and the widen
+            # happens after slicing to the 128 output lanes
+            w32 = pltpu.bitcast(w8, jnp.int32)
+            w32 = pltpu.roll(w32, (READ_C - phic) % READ_C, axis=1)
+            w8r = pltpu.bitcast(w32, jnp.int8)
+            w = w8r[:, :ACC_C].astype(jnp.int32)
             acc_ref[pl.ds(phi, 1)] += (w * v)[None]
 
         def body(b, _):
             # unrolled: the per-iteration scalar sequencing (SMEM loads,
-            # address arithmetic, loop bookkeeping) costs ~80 ns — a third
-            # of the per-beam budget at unroll 1 (measured 265 -> 190
-            # ns/beam at unroll 4)
+            # address arithmetic, loop bookkeeping) is a large share of
+            # the per-beam budget (measured 265 -> 190 ns/beam going
+            # unroll 1 -> 4 pre-bitroll; unroll 8 + bitroll: 102 ns/beam)
             for k in range(BEAM_UNROLL):
                 one(b * BEAM_UNROLL + k)
             return 0
