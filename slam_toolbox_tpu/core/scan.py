@@ -101,6 +101,12 @@ def _beam_trig(laser: LaserConfig):
     return np.cos(a), np.sin(a)
 
 
+@functools.lru_cache(maxsize=64)
+def _offset_np(laser: LaserConfig) -> np.ndarray:
+    """The laser extrinsic offset pose as a reusable float64 array."""
+    return np.asarray(laser.offset_pose, dtype=np.float64)
+
+
 class LocalizedScan:
     """A lidar scan with odometric and corrected robot poses.
 
@@ -113,7 +119,7 @@ class LocalizedScan:
         "laser", "ranges", "odom_pose", "corrected_pose", "time",
         "state_id", "unique_id", "_points", "_valid", "_barycenter", "_bbox",
         "_fvp", "_dev_local", "_stream_arrays",
-        "_local_pts", "_filtered", "_local_bary",
+        "_local_pts", "_filtered", "_local_bary", "_sensor_pose",
     )
 
     def __init__(self, laser: LaserConfig, ranges, odom_pose, time: float = 0.0):
@@ -134,20 +140,23 @@ class LocalizedScan:
         self._local_pts = None
         self._filtered = None
         self._local_bary = None
+        self._sensor_pose = None
 
     # -- pose accessors (Karto.h:5536-5596) --------------------------------
     @property
     def sensor_pose(self) -> np.ndarray:
-        return np.asarray(
-            geometry.sensor_at(self.corrected_pose, np.array(self.laser.offset_pose))
-        )
+        if self._sensor_pose is None:
+            self._sensor_pose = np.asarray(geometry.sensor_at(
+                self.corrected_pose, _offset_np(self.laser)
+            ))
+        return self._sensor_pose
 
     def set_sensor_pose(self, sensor_pose) -> None:
         """Set corrected robot pose from a sensor pose (Karto.h:5551-5558)."""
         self.corrected_pose = np.asarray(
             geometry.corrected_at(
                 np.asarray(sensor_pose, dtype=np.float64),
-                np.array(self.laser.offset_pose),
+                _offset_np(self.laser),
             )
         )
         self._invalidate()
@@ -158,7 +167,7 @@ class LocalizedScan:
 
     def sensor_at(self, robot_pose) -> np.ndarray:
         return np.asarray(
-            geometry.sensor_at(np.asarray(robot_pose), np.array(self.laser.offset_pose))
+            geometry.sensor_at(np.asarray(robot_pose), _offset_np(self.laser))
         )
 
     def reference_pose(self, use_barycenter: bool) -> np.ndarray:
@@ -169,6 +178,7 @@ class LocalizedScan:
         self._barycenter = None
         self._bbox = None
         self._fvp = None
+        self._sensor_pose = None
 
     # -- derived quantities (the reference's Update(), Karto.h:5644-5704) --
     # ranges are immutable, so everything in the SENSOR frame is cached

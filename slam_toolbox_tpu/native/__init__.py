@@ -46,23 +46,26 @@ def get_lib():
     lib = ctypes.CDLL(_LIB_PATH)
     i64 = ctypes.c_int64
     f64 = ctypes.c_double
-    p_f64 = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
-    p_i64 = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
-    p_u8 = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    # buffers are passed as raw addresses (arr.ctypes.data) — the
+    # ndpointer/from_param/cast path costs ~50 us per argument, which
+    # dominated these sub-ms calls on the host bookkeeping path; callers
+    # guarantee contiguity with ascontiguousarray and keep the arrays
+    # alive across the call
+    ptr = ctypes.c_void_p
 
     lib.bfs_within_radius.restype = i64
     lib.bfs_within_radius.argtypes = [
-        i64, p_f64, p_i64, p_i64, i64, f64, f64, f64, p_u8, p_i64,
+        i64, ptr, ptr, ptr, i64, f64, f64, f64, ptr, ptr,
     ]
     lib.loop_candidate_sweep.restype = i64
     lib.loop_candidate_sweep.argtypes = [
-        i64, p_f64, p_u8, p_u8, f64, f64, f64, i64,
-        ctypes.POINTER(i64), p_i64,
+        i64, ptr, ptr, ptr, f64, f64, f64, i64,
+        ctypes.POINTER(i64), ptr,
     ]
     lib.radius_query.restype = i64
-    lib.radius_query.argtypes = [i64, p_f64, f64, f64, f64, p_i64]
+    lib.radius_query.argtypes = [i64, ptr, f64, f64, f64, ptr]
     lib.fvp_structure.restype = i64
-    lib.fvp_structure.argtypes = [i64, p_f64, p_i64, p_f64, p_i64]
+    lib.fvp_structure.argtypes = [i64, ptr, ptr, ptr, ptr]
     _lib = lib
     return lib
 
@@ -78,7 +81,10 @@ def fvp_structure(points):
     delim_idx = np.zeros(n, np.int64)
     anchors = np.zeros((n, 2), np.float64)
     next_delim = np.zeros(n, np.int64)
-    d = lib.fvp_structure(n, pts, delim_idx, anchors, next_delim)
+    d = lib.fvp_structure(
+        n, pts.ctypes.data, delim_idx.ctypes.data, anchors.ctypes.data,
+        next_delim.ctypes.data,
+    )
     return delim_idx[:d].copy(), anchors[:d].copy(), next_delim
 
 
@@ -91,13 +97,14 @@ def bfs_within_radius(xy, indptr, indices, start, center, max_distance):
     n = len(xy)
     visited = np.zeros(n, np.uint8)
     order = np.zeros(n, np.int64)
+    xy_c = np.ascontiguousarray(xy, np.float64)
+    indptr_c = np.ascontiguousarray(indptr, np.int64)
+    indices_c = np.ascontiguousarray(indices, np.int64)
     cnt = lib.bfs_within_radius(
-        n, np.ascontiguousarray(xy, np.float64),
-        np.ascontiguousarray(indptr, np.int64),
-        np.ascontiguousarray(indices, np.int64),
+        n, xy_c.ctypes.data, indptr_c.ctypes.data, indices_c.ctypes.data,
         int(start), float(center[0]), float(center[1]),
         float(max_distance) * float(max_distance) - 1e-6,
-        visited, order,
+        visited.ctypes.data, order.ctypes.data,
     )
     return order[:cnt].copy()
 
@@ -112,12 +119,13 @@ def loop_candidate_sweep(
     n = len(xy)
     chain = np.zeros(n, np.int64)
     s = ctypes.c_int64(int(start_idx))
+    xy_c = np.ascontiguousarray(xy, np.float64)
+    present_c = np.ascontiguousarray(present, np.uint8)
+    near_c = np.ascontiguousarray(near_linked, np.uint8)
     cnt = lib.loop_candidate_sweep(
-        n, np.ascontiguousarray(xy, np.float64),
-        np.ascontiguousarray(present, np.uint8),
-        np.ascontiguousarray(near_linked, np.uint8),
+        n, xy_c.ctypes.data, present_c.ctypes.data, near_c.ctypes.data,
         float(center[0]), float(center[1]),
         float(max_distance) * float(max_distance) + 1e-6,
-        int(min_chain), ctypes.byref(s), chain,
+        int(min_chain), ctypes.byref(s), chain.ctypes.data,
     )
     return chain[:cnt].copy(), int(s.value)
