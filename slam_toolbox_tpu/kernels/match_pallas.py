@@ -154,6 +154,100 @@ def prepare_parity_grid(grid2d, acc_r: int = 32):
     return jax.lax.dynamic_update_slice(out, sub, (0, PAD_TOP, PAD_LEFT))
 
 
+SCAT_TR = 8              # int32 tile rows (band height)
+SCAT_TC = 128            # bit-plane words per row
+
+
+def _make_bit_scatter_kernel(n_bands: int, nb_r: int, rows: int):
+    """Banded bit-scatter: points sorted by (plane, row-band); each band
+    accumulates a one-hot OR into a (8, 128) int32 register tile and pays
+    ONE aligned store. Bit layout is STRIDED — cell t lives in word
+    (t % 128), bit (t // 128) — so unpacking is a static 128-lane slice
+    per bit plane (a packed layout would need a pathological lane
+    interleave). XLA's scatter lowers to ~8M serialized updates/s on TPU
+    (~2 ms for the 15k-point running-buffer stamp); this kernel plus the
+    sort-based prep runs the same stamp in ~10 us."""
+
+    def kern(tbl_ref, out_ref):
+        out_ref[...] = jnp.zeros((4, rows, SCAT_TC), jnp.int32)
+        riota = jax.lax.broadcasted_iota(jnp.int32, (SCAT_TR, SCAT_TC), 0)
+        ciota = jax.lax.broadcasted_iota(jnp.int32, (SCAT_TR, SCAT_TC), 1)
+
+        def band(bi, _):
+            s = tbl_ref[bi]
+            e = tbl_ref[bi + 1]
+
+            def one(i, acc):
+                w = tbl_ref[n_bands + 1 + i]
+                return acc | jnp.where(
+                    (riota == ((w >> 12) & 0x7))
+                    & (ciota == (w & 0x7F)),
+                    jnp.int32(1) << ((w >> 7) & 0x1F), 0,
+                )
+
+            acc = jax.lax.fori_loop(
+                s, e, one, jnp.zeros((SCAT_TR, SCAT_TC), jnp.int32))
+            out_ref[
+                bi // nb_r, pl.ds((bi % nb_r) * SCAT_TR, SCAT_TR), :
+            ] = acc
+            return 0
+
+        jax.lax.fori_loop(0, n_bands, band, 0)
+
+    return kern
+
+
+def scatter_occupancy_parity(points, valid, offset, scale, grid_size: int):
+    """Binary occupancy of `points` in the four parity subgrids:
+    (4, gh, gh) float32 with occ[2*(iy&1)+(ix&1), iy>>1, ix>>1] = 1.
+
+    Replaces jnp's scatter (see _make_bit_scatter_kernel). Exact: same
+    cells set, OR semantics."""
+    from slam_toolbox_tpu.kernels.rasterize import round_half_away
+
+    G = grid_size
+    gh = (G + 1) // 2
+    rows = _round_up(gh, SCAT_TR)
+    nb_r = rows // SCAT_TR
+    n_bands = 4 * nb_r
+    assert gh <= SCAT_TC * 32 and n_bands < (1 << 14)
+
+    g = round_half_away((points - offset[None, :]) * scale).astype(
+        jnp.int32
+    )
+    ix, iy = g[:, 0], g[:, 1]
+    inb = valid & (ix >= 0) & (ix < G) & (iy >= 0) & (iy < G)
+    p = 2 * (iy & 1) + (ix & 1)
+    q = iy >> 1
+    t = ix >> 1
+    band = p * nb_r + (q >> 3)
+    key = jnp.where(inb, band, n_bands)
+    # slot word: key(14b) << 17 | qrow(3b) << 12 | bit(5b) << 7 | word(7b)
+    packed = (
+        (key << 17) | ((q & 0x7) << 12)
+        | ((t // SCAT_TC) << 7) | (t % SCAT_TC)
+    )
+    srt = jnp.sort(packed)
+    starts = jnp.searchsorted(
+        srt >> 17, jnp.arange(n_bands + 1, dtype=jnp.int32),
+    ).astype(jnp.int32)
+    tbl = jnp.concatenate([starts, srt & 0x1FFFF])
+
+    bits = pl.pallas_call(
+        _make_bit_scatter_kernel(n_bands, nb_r, rows),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((4, rows, SCAT_TC), jnp.int32),
+        interpret=jax.default_backend() != "tpu",
+    )(tbl)
+
+    nb_bits = (gh + SCAT_TC - 1) // SCAT_TC
+    planes = jnp.concatenate(
+        [(bits >> b) & 1 for b in range(nb_bits)], axis=2
+    )
+    return planes[:, :gh, :gh].astype(jnp.float32)
+
+
 def rasterize_parity(
     points, valid, offset, scale, sigma_cells,
     grid_size: int, half_kernel: int, acc_r: int = 32,
@@ -176,17 +270,9 @@ def rasterize_parity(
     gh = (G + 1) // 2
     hp, wp = parity_dims(G, acc_r)
 
-    g = round_half_away((points - offset[None, :]) * scale).astype(
-        jnp.int32
-    )
-    ix, iy = g[:, 0], g[:, 1]
-    inb = valid & (ix >= 0) & (ix < G) & (iy >= 0) & (iy < G)
-    p = 2 * (iy & 1) + (ix & 1)
-    q = jnp.where(inb, iy >> 1, gh)  # OOB dropped by scatter mode below
-    t = jnp.where(inb, ix >> 1, gh)
-    occ = jnp.zeros((2, 2, gh, gh), jnp.float32)
-    occ = occ.reshape(4, gh, gh).at[p, q, t].max(1.0, mode="drop")
-    occ = occ.reshape(2, 2, gh, gh)
+    occ = scatter_occupancy_parity(
+        points, valid, offset, scale, G
+    ).reshape(2, 2, gh, gh)
 
     if half_kernel > 0:
         k = jnp.arange(-half_kernel, half_kernel + 1, dtype=jnp.float32)
