@@ -524,6 +524,79 @@ def _score_tensor(
     )
 
 
+def _build_hrow3(pgrid):
+    """Per parity cell, pack the +x row triple (G[c], G[c+1], G[c+2]) —
+    full-grid columns — into one int32: byte j = cell (y, x+j).
+    Full cell (y, x) lives at plane p = 2*(y&1)+(x&1), col t = x>>1;
+    x+1 flips the col parity (plane p^1) at col t + (x&1); x+2 stays in
+    plane p at col t+1. Shift-ins at the right edge read the zero pad."""
+    g32 = pgrid.astype(jnp.int32)
+
+    def sh(a):
+        return jnp.concatenate(
+            [a[:, 1:], jnp.zeros_like(a[:, :1])], axis=1
+        )
+
+    out = []
+    for p in range(4):
+        px = p & 1
+        b1 = g32[p ^ 1] if px == 0 else sh(g32[p ^ 1])
+        b2 = sh(g32[p])
+        out.append(g32[p] | (b1 << 8) | (b2 << 16))
+    return jnp.stack(out)
+
+
+def _score_fine3_parity(
+    pgrid, G, cand_x, cand_y, d, finite,
+    x_offsets, y_offsets, angles, center_h,
+    penalize, dist_var_penalty, ang_var_penalty, min_dist_pen, min_ang_pen,
+    acc_r,
+):
+    """Fine-pass response on the parity grid with packed-row gathers:
+    the 3x3 candidate lattice is consecutive cells, so each (angle, beam,
+    row) needs ONE int32 gather of a packed row triple instead of three
+    scalar gathers (the XLA gather rate ~100M/s made the fine pass a
+    dominant per-scan cost). Exact: out-of-grid cells read the zero pad
+    (the parity layout maps any coordinate within the pad bounds into
+    zeros), and rounding-edge candidate cells that duplicate the base
+    select the same byte the scalar path would gather."""
+    from slam_toolbox_tpu.kernels import match_pallas as mp
+
+    hp, wp = mp.parity_dims(G, acc_r)
+    hflat = _build_hrow3(pgrid).reshape(-1)
+    B = d.shape[1]
+    gx = d[:, :, 0] + cand_x[0]
+    gy0 = d[:, :, 1] + cand_y[0]
+    okx = (
+        (gx >= -2 * mp.PAD_LEFT)
+        & (gx < 2 * (wp - mp.PAD_LEFT - 1))
+        & finite[None, :]
+    )
+    hs = []
+    for k in range(3):
+        gy = gy0 + k
+        ok = okx & (gy >= -2 * mp.PAD_TOP) & (gy < 2 * (hp - mp.PAD_TOP))
+        ya, xa = _flat_parts(gy, gx, G, acc_r)
+        idx = jnp.where(ok, ya + xa, 0)
+        hs.append(jnp.take(hflat, idx, axis=0))
+    hs = jnp.stack(hs, axis=2)                       # (na, B, 3 rows)
+    cy = jnp.clip(cand_y - cand_y[0], 0, 2)          # row select (3,)
+    cx = jnp.clip(cand_x - cand_x[0], 0, 2)          # byte select (3,)
+    hsel = jnp.take(hs, cy, axis=2)                  # (na, B, ny)
+    vals = (hsel[..., None] >> (8 * cx)[None, None, None, :]) & 0xFF
+    resp = jnp.sum(vals, axis=1).astype(jnp.float32) / (
+        jnp.float32(B) * 100.0
+    )
+    sq_xy = y_offsets[:, None] ** 2 + x_offsets[None, :] ** 2
+    dist_pen = jnp.maximum(1.0 - 0.2 * sq_xy / dist_var_penalty, min_dist_pen)
+    sq_ang = (angles - center_h) ** 2
+    ang_pen = jnp.maximum(1.0 - 0.2 * sq_ang / ang_var_penalty, min_ang_pen)
+    pen = dist_pen[None, :, :] * ang_pen[:, None, None]
+    return jnp.where(
+        penalize & (jnp.abs(resp) > KT_TOLERANCE), resp * pen, resp
+    )
+
+
 def _tie_average(resp_p, wx, wy, angles):
     best = jnp.max(resp_p)
     tie = resp_p >= best - KT_TOLERANCE
@@ -743,12 +816,20 @@ def _score_impl(
     cand_yf = rz.round_half_away(
         (mean_c[1] + y_off_f - offset[1]) * scale
     ).astype(jnp.int32)
-    resp_f = _score_tensor(
-        grid_flat, G, sink, cand_xf, cand_yf, d_f, finite,
-        x_off_f, y_off_f, ang_f, mean_c[2],
-        penalize, dist_var_penalty, ang_var_penalty,
-        min_dist_pen, min_ang_pen, parity_acc_r=par,
-    )
+    if pgrid is not None and x_off_f.shape[0] == 3 and y_off_f.shape[0] == 3:
+        resp_f = _score_fine3_parity(
+            pgrid, G, cand_xf, cand_yf, d_f, finite,
+            x_off_f, y_off_f, ang_f, mean_c[2],
+            penalize, dist_var_penalty, ang_var_penalty,
+            min_dist_pen, min_ang_pen, acc_r,
+        )
+    else:
+        resp_f = _score_tensor(
+            grid_flat, G, sink, cand_xf, cand_yf, d_f, finite,
+            x_off_f, y_off_f, ang_f, mean_c[2],
+            penalize, dist_var_penalty, ang_var_penalty,
+            min_dist_pen, min_ang_pen, parity_acc_r=par,
+        )
     best_f, mean_f = _tie_average(
         resp_f, mean_c[0] + x_off_f, mean_c[1] + y_off_f, ang_f
     )

@@ -94,6 +94,40 @@ def test_rasterize_parity_matches_split_raster(G, hk):
     )
 
 
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_score_fine3_parity_matches_scalar_gather(seed):
+    """Packed-row fine scorer vs the scalar-gather path, including
+    candidates at and beyond the grid edges."""
+    from slam_toolbox_tpu.kernels.match import (
+        _score_tensor, _score_fine3_parity)
+
+    rng = np.random.default_rng(seed)
+    G, B, na = 257, 97, 7
+    grid2d = rng.integers(0, 101, (G, G)).astype(np.int8)
+    pgrid = mp.prepare_parity_grid(jnp.asarray(grid2d))
+    pflat = jnp.asarray(np.asarray(pgrid).reshape(-1))
+    # candidate bases spanning off-grid to far edge; consecutive cells
+    base = rng.integers(-6, G + 3, 2)
+    cand_x = jnp.asarray((base[0] + np.arange(3)).astype(np.int32))
+    cand_y = jnp.asarray((base[1] + np.arange(3)).astype(np.int32))
+    d = jnp.asarray(rng.integers(-200, 200, (na, B, 2)).astype(np.int32))
+    finite = jnp.asarray(rng.random(B) > 0.1)
+    args = (
+        jnp.zeros(3, jnp.float32), jnp.zeros(3, jnp.float32),
+        jnp.zeros(na, jnp.float32), jnp.float32(0.0),
+        jnp.bool_(True),
+        jnp.float32(1.0), jnp.float32(1.0),
+        jnp.float32(0.5), jnp.float32(0.9),
+    )
+    ref = _score_tensor(
+        pflat, G, 0, cand_x, cand_y, d, finite, *args, parity_acc_r=32,
+    )
+    got = _score_fine3_parity(
+        pgrid, G, cand_x, cand_y, d, finite, *args, acc_r=32,
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
 def test_parity_flat_index_gathers_match():
     """_flat_parts parity indexing reads the same cells as row-major."""
     from slam_toolbox_tpu.kernels.match import _flat_parts
