@@ -297,8 +297,8 @@ class StreamingPipeline:
         # returns True if it changed the graph/running buffer so the
         # device state must resync
         self.post_finish = None
-        self._pending_dev = []
-        self._zero_pack = None
+        self._pending_dev = []   # uploaded 16-scan chunk arrays
+        self._chunk_np = []      # host packs awaiting the next chunk
 
     def warm(self) -> None:
         """Compile the batch program without touching pipeline state (a
@@ -417,10 +417,13 @@ class StreamingPipeline:
             self.refresh_state()
 
         self.pending.append(scan)
-        # async upload: streams during accumulation, consumed at drain
-        self._pending_dev.append(
-            jax.device_put(self._scan_stream_arrays(scan))
-        )
+        # async chunked upload: streams during accumulation
+        self._chunk_np.append(self._scan_stream_arrays(scan))
+        if len(self._chunk_np) >= 16:
+            self._pending_dev.append(
+                jax.device_put(np.stack(self._chunk_np))
+            )
+            self._chunk_np = []
         self._last_gate_scan = scan
         # the ring only needs to hold results not yet consumed — i.e. the
         # pending batch; consumed slots are safely overwritten (the fetch
@@ -430,33 +433,38 @@ class StreamingPipeline:
         return True
 
     def _dispatch_batch(self, scans) -> None:
-        """Stack the batch on device + run the batch program (pad to the
-        drain_every bucket so one executable covers every drain, including
-        partial flushes). Per-scan packs were uploaded asynchronously at
-        process_scan time (device_put returns immediately, the ~34 KB
-        transfer streams while the host accumulates the batch) — the
+        """Concatenate the batch on device + run the batch program (pad to
+        the drain_every bucket so one executable covers every drain,
+        including partial flushes). Packs are uploaded asynchronously in
+        16-scan chunks as scans arrive (device_put returns immediately,
+        the ~550 KB transfers stream while the host accumulates) — the
         tunnel uploads a 96-scan batch at only ~40 MB/s, so a synchronous
-        3.3 MB upload at drain cost ~75 ms on the critical path."""
+        3.3 MB upload at drain cost ~75 ms on the critical path, and
+        per-scan transfers serialize on tunnel round trips."""
         N = max(self.drain_every, len(scans))
         B = self.B
+        n = len(scans)
         odoms = np.zeros((N, 3), np.float32)
         for i, s in enumerate(scans):
             odoms[i] = s.odom_pose
-        devs = list(self._pending_dev)
-        if len(devs) != len(scans):  # resync fallback (e.g. fresh state)
-            devs = [
-                jax.device_put(self._scan_stream_arrays(s)) for s in scans
-            ]
-        if self._zero_pack is None:
-            self._zero_pack = jnp.zeros((B, 8), jnp.float32)
-        devs.extend([self._zero_pack] * (N - len(devs)))
-        packs = jnp.stack(devs)
+        covered = sum(int(c.shape[0]) for c in self._pending_dev)
+        parts = list(self._pending_dev)
+        if covered + len(self._chunk_np) == n:
+            if self._chunk_np:
+                parts.append(jax.device_put(np.stack(self._chunk_np)))
+        else:  # resync fallback (e.g. fresh state mid-batch)
+            parts = [jax.device_put(
+                np.stack([self._scan_stream_arrays(s) for s in scans])
+            )]
+        if N > n:
+            parts.append(jnp.zeros((N - n, B, 8), jnp.float32))
+        packs = parts[0] if len(parts) == 1 else jnp.concatenate(parts, 0)
         self.state = self._run_batch(
-            self.state, packs, jnp.asarray(odoms),
-            jnp.int32(len(scans)),
+            self.state, packs, jnp.asarray(odoms), jnp.int32(n),
         )
         self._pending_dev = []
-        self._dispatched_since_refresh += len(scans)
+        self._chunk_np = []
+        self._dispatched_since_refresh += n
 
     def _run_batch(self, state, packs, odoms, n_valid):
         return _stream_batch_jit(
@@ -582,6 +590,7 @@ class StreamingPipeline:
                             any_closed = True
         self.pending = []
         self._pending_dev = []
+        self._chunk_np = []
         self._last_gate_scan = None
         # the device ring evolved with identical updates (same rule, same
         # fetched poses), so a resync is only needed when bookkeeping
