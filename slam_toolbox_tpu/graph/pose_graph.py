@@ -572,6 +572,16 @@ class PoseGraph:
                 "loop_chains", len(chains),
                 sum(len(c) for c in chains),
             )
+            lm = self.mapper.loop_matcher
+            sm_seq = self.mapper.sequential_matcher
+            if lm.use_pallas and sm_seq.use_pallas:
+                closed_this_round = self._try_close_fused(
+                    scan, chains, cfg
+                )
+                if closed_this_round:
+                    closed = True
+                    continue  # poses moved: re-sweep remaining candidates
+                return closed
             with stage_timer(self.mapper.stats, "loop_coarse_match"):
                 coarse_results = self.mapper.loop_matcher.match_scans_batch(
                     scan, chains, penalize=False, refine=False
@@ -642,6 +652,58 @@ class PoseGraph:
                     break  # poses moved: re-sweep remaining candidates
             if not closed_this_round:
                 return closed
+
+    def _try_close_fused(self, scan, chains, cfg) -> bool:
+        """One fused device program per chain: coarse match, gates, and
+        fine verification in a single dispatch + single batched fetch
+        (kernels/loop_verify.py) — the staged path pays two tunnel round
+        trips and a second host chain-raster prep per loop event. Gate
+        values and acceptance order are identical to the staged path."""
+        import jax.numpy as jnp
+
+        from slam_toolbox_tpu.core.scan import LocalizedScan
+        from slam_toolbox_tpu.kernels import loop_verify as lv
+        from slam_toolbox_tpu.kernels.match import Matcher
+        from slam_toolbox_tpu.utils.metrics import stage_timer
+
+        seq = self.mapper.sequential_matcher
+        with stage_timer(self.mapper.stats, "loop_verify"):
+            packs = lv.dispatch_loop_verify(
+                self.mapper.loop_matcher, seq, scan, chains, cfg
+            )
+            stacked = jnp.stack(packs)
+            stacked.block_until_ready()
+            rows = np.asarray(stacked, np.float64)
+        from slam_toolbox_tpu.core.geometry import KT_TOLERANCE
+
+        for chain, row in zip(chains, rows):
+            if row[26] <= 0.5:  # coarse response/variance gates
+                continue
+            fine = Matcher.results_from_packed(row[13:26])[0]
+            if (
+                abs(fine.response) <= KT_TOLERANCE
+                and seq.use_response_expansion
+            ):
+                # rare fallback: replay the reference's temporary-scan
+                # seeding at the coarse pose with angular expansion
+                coarse = Matcher.results_from_packed(row[:13])[0]
+                tmp = LocalizedScan(
+                    scan.laser, scan.ranges, scan.odom_pose, scan.time
+                )
+                tmp.state_id = scan.state_id
+                tmp.unique_id = scan.unique_id
+                tmp.set_corrected_pose(scan.corrected_pose)
+                tmp.set_sensor_pose(coarse.sensor_pose)
+                fine = seq.match_scan(tmp, chain, penalize=False)
+            if fine.response >= cfg.loop_match_minimum_response_fine:
+                self.mapper.fire_loop_closure("Closing loop...")
+                scan.set_sensor_pose(fine.sensor_pose)
+                self.link_chain_to_scan(
+                    chain, scan, fine.sensor_pose, fine.covariance
+                )
+                self.correct_poses()
+                return True
+        return False
 
     def correct_poses(self) -> None:
         """CorrectPoses (Mapper.cpp:2012-2030): solver Compute + write

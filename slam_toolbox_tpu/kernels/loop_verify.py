@@ -1,0 +1,214 @@
+"""Fused loop-closure verification: coarse candidate match, response/
+variance gates, and the fine verification run as ONE device program per
+candidate chain (one dispatch + one fetch per chain batch).
+
+The staged path (TryCloseLoop, Mapper.cpp:1500-1561) pays two tunnel
+round trips per loop event — coarse batch, host gates, fine batch — plus
+a second host-side chain raster prep. Here the chain's world points and
+FindValidPoints visibility are computed ON DEVICE from the per-scan pack
+buffers (the same (B, 8) layout the streaming pipeline uploads), the
+coarse pass runs at the loop matcher's geometry, the gates
+(Mapper.cpp:1523-1525) evaluate on device, and the fine pass re-rasters
+at the sequential matcher's geometry centered at the coarse pose —
+exactly the temporary-scan seeding of Mapper.cpp:1527-1535. Gate
+semantics are bit-identical to the host compare (no f32 value separates
+the f32-rounded threshold from its f64 original for strict >/<).
+
+Host logic (first passing chain closes; response-expansion fallback for
+zero-response fine results) is unchanged in graph/pose_graph.py.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from slam_toolbox_tpu.kernels.match import _score_impl, _raster_quant_impl
+
+CHAIN_BUCKETS = (16, 32, 64, 128)
+
+
+def chain_bucket(n: int) -> int:
+    for b in CHAIN_BUCKETS:
+        if n <= b:
+            return b
+    return ((n + 127) // 128) * 128
+
+
+def _chain_raster(
+    packs, poses, cvalid, viewpoint_xy, offset,
+    scale, sigma_cells, grid_size, half_kernel, acc_r, parity,
+):
+    """World points + device FindValidPoints + raster for a padded chain
+    of scans — the streaming ring raster generalized to explicit pose
+    arrays (mapper/streaming.py:_stream_raster_impl)."""
+    local = packs[:, :, 0:2]
+    anchor = packs[:, :, 2:4]
+    cur = packs[:, :, 4:6]
+    nxt = packs[:, :, 6].astype(jnp.int32)
+    flags = packs[:, :, 7].astype(jnp.int32)
+    finite = (flags & 1) > 0
+    dvalid = (flags & 2) > 0
+
+    c, s = jnp.cos(poses[:, 2]), jnp.sin(poses[:, 2])
+    wx = poses[:, 0:1] + c[:, None] * local[:, :, 0] - s[:, None] * local[:, :, 1]
+    wy = poses[:, 1:2] + s[:, None] * local[:, :, 0] + c[:, None] * local[:, :, 1]
+    pts = jnp.stack([wx, wy], axis=-1)
+
+    dvx = viewpoint_xy[0] - poses[:, 0]
+    dvy = viewpoint_xy[1] - poses[:, 1]
+    vxl = c * dvx + s * dvy
+    vyl = -s * dvx + c * dvy
+    a = vyl[:, None] - anchor[:, :, 1]
+    b = anchor[:, :, 0] - vxl[:, None]
+    cc = anchor[:, :, 1] * vxl[:, None] - anchor[:, :, 0] * vyl[:, None]
+    ss = cur[:, :, 0] * a + cur[:, :, 1] * b + cc
+    keep_run = (ss >= 0.0) & dvalid
+    keep = jnp.take_along_axis(keep_run, jnp.maximum(nxt, 0), axis=1)
+    valid = (nxt >= 0) & keep & finite & cvalid[:, None]
+
+    C, B = local.shape[0], local.shape[1]
+    return _raster_quant_impl(
+        pts.reshape(C * B, 2), valid.reshape(C * B), offset,
+        scale, sigma_cells, grid_size, half_kernel, acc_r, parity,
+    )
+
+
+def _loop_verify_impl(
+    packs, poses, cvalid, scan_local, scan_finite, center, gates,
+    loop_args: dict, seq_args: dict,
+    loop_sigma, seq_sigma, loop_half_span, seq_half_span,
+    loop_G: int, loop_hk: int, loop_acc_r: int, loop_parity: bool,
+    loop_na_c: int, loop_na_f: int,
+    seq_G: int, seq_hk: int, seq_acc_r: int, seq_parity: bool,
+    seq_na_c: int, seq_na_f: int,
+):
+    """Returns (27,): [coarse packed 13 | fine packed 13 | gate]."""
+    # coarse at the loop matcher's geometry, viewpoint = current pose
+    off_l = center[:2] - loop_half_span
+    grid_l, pgrid_l = _chain_raster(
+        packs, poses, cvalid, center[:2], off_l,
+        loop_args["scale"], loop_sigma, loop_G, loop_hk, loop_acc_r,
+        loop_parity,
+    )
+    packed_c = _score_impl(
+        grid_l, pgrid_l, jnp.concatenate([center, off_l]),
+        scan_local, scan_finite,
+        penalize=jnp.bool_(False),
+        grid_size=loop_G, na_coarse=loop_na_c, na_fine=loop_na_f,
+        acc_r=loop_acc_r, refine=False, **loop_args,
+    )
+    # gates (Mapper.cpp:1523-1525): response and x/y variance
+    gate = (
+        (packed_c[0] > gates[0])
+        & (packed_c[4] < gates[1])
+        & (packed_c[8] < gates[1])
+    )
+    # fine at the sequential matcher's geometry, centered at the coarse
+    # pose (the reference's temporary scan seeding)
+    center2 = packed_c[1:4]
+    off_s = center2[:2] - seq_half_span
+    grid_s, pgrid_s = _chain_raster(
+        packs, poses, cvalid, center2[:2], off_s,
+        seq_args["scale"], seq_sigma, seq_G, seq_hk, seq_acc_r,
+        seq_parity,
+    )
+    packed_f = _score_impl(
+        grid_s, pgrid_s, jnp.concatenate([center2, off_s]),
+        scan_local, scan_finite,
+        penalize=jnp.bool_(False),
+        grid_size=seq_G, na_coarse=seq_na_c, na_fine=seq_na_f,
+        acc_r=seq_acc_r, refine=True, **seq_args,
+    )
+    return jnp.concatenate(
+        [packed_c, packed_f, gate.astype(jnp.float32)[None]]
+    )
+
+
+_loop_verify_jit = jax.jit(
+    _loop_verify_impl,
+    static_argnames=(
+        "loop_G", "loop_hk", "loop_acc_r", "loop_parity",
+        "loop_na_c", "loop_na_f",
+        "seq_G", "seq_hk", "seq_acc_r", "seq_parity",
+        "seq_na_c", "seq_na_f",
+    ),
+)
+
+
+def _pack_dev(scan):
+    """Per-scan device-resident pack, uploaded once per scan ever (the
+    pack is sensor-frame, pose-independent)."""
+    dev = getattr(scan, "_pack_dev", None)
+    if dev is None:
+        from slam_toolbox_tpu.mapper.streaming import scan_pack
+
+        dev = jax.device_put(scan_pack(scan))
+        try:
+            scan._pack_dev = dev
+        except AttributeError:
+            pass
+    return dev
+
+
+def dispatch_loop_verify(loop_matcher, seq_matcher, scan, chains, cfg):
+    """Dispatch one fused verify program per chain (no waits); returns
+    the in-flight (27,) packed device results."""
+    from slam_toolbox_tpu.kernels.match import _scan_device_cache
+
+    center = np.asarray(scan.sensor_pose, np.float32)
+    local_dev, finite_dev = _scan_device_cache(scan)
+    gates = jnp.asarray(np.array([
+        cfg.loop_match_minimum_response_coarse,
+        cfg.loop_match_maximum_variance_coarse,
+    ], np.float32))
+    out = []
+    for chain in chains:
+        Cb = chain_bucket(len(chain))
+        poses = np.zeros((Cb, 3), np.float32)
+        cvalid = np.zeros(Cb, bool)
+        devs = []
+        for i, sc in enumerate(chain):
+            poses[i] = sc.sensor_pose
+            cvalid[i] = True
+            devs.append(_pack_dev(sc))
+        zero = _zero_pack(loop_matcher, devs[0].shape)
+        devs.extend([zero] * (Cb - len(chain)))
+        packs = jnp.stack(devs)
+        out.append(_loop_verify_jit(
+            packs, jnp.asarray(poses), jnp.asarray(cvalid),
+            local_dev, finite_dev, jnp.asarray(center), gates,
+            loop_args=dict(loop_matcher._score_args),
+            seq_args=dict(seq_matcher._score_args),
+            loop_sigma=np.float32(loop_matcher.sigma_cells),
+            seq_sigma=np.float32(seq_matcher.sigma_cells),
+            loop_half_span=np.float32(
+                0.5 * (loop_matcher.G - 1) * loop_matcher.resolution),
+            seq_half_span=np.float32(
+                0.5 * (seq_matcher.G - 1) * seq_matcher.resolution),
+            loop_G=loop_matcher.G, loop_hk=loop_matcher.half_kernel,
+            loop_acc_r=loop_matcher._acc_r,
+            loop_parity=loop_matcher.use_pallas,
+            loop_na_c=loop_matcher._na_coarse,
+            loop_na_f=loop_matcher._na_fine,
+            seq_G=seq_matcher.G, seq_hk=seq_matcher.half_kernel,
+            seq_acc_r=seq_matcher._acc_r,
+            seq_parity=seq_matcher.use_pallas,
+            seq_na_c=seq_matcher._na_coarse,
+            seq_na_f=seq_matcher._na_fine,
+        ))
+    return out
+
+
+_ZEROS = {}
+
+
+def _zero_pack(matcher, shape):
+    key = tuple(shape)
+    z = _ZEROS.get(key)
+    if z is None:
+        z = jnp.zeros(shape, jnp.float32)
+        _ZEROS[key] = z
+    return z

@@ -31,6 +31,11 @@ from slam_toolbox_tpu.kernels import rasterize as rz
 from slam_toolbox_tpu.kernels.match import _score_impl, _raster_quant_impl
 
 RESULT_CAP = 128
+# async upload chunk size (scans per h2d transfer): small chunks overlap
+# accumulation better, big chunks pay fewer serialized tunnel round trips
+import os as _os
+
+UPLOAD_CHUNK = int(_os.environ.get("SLAM_UPLOAD_CHUNK", "16"))
 
 
 def _unpack_scan(pack):
@@ -45,6 +50,38 @@ def _unpack_scan(pack):
     finite = (flags & 1) > 0
     dvalid = (flags & 2) > 0
     return local_pts, anchor, current, nxt, finite, dvalid
+
+
+def scan_pack(scan) -> np.ndarray:
+    """Single packed (B, 8) f32 upload buffer per scan (one h2d transfer
+    instead of seven): [local_xy, anchor_xy, current_xy, next_delim,
+    flags(bit0 finite, bit1 delim-valid)]. Cached on the scan (the
+    contents are sensor-frame, pose-independent)."""
+    cached = getattr(scan, "_stream_arrays", None)
+    if cached is not None:
+        return cached
+    local = np.nan_to_num(scan.local_points.astype(np.float32), nan=0.0)
+    finite = np.isfinite(scan.ranges)
+    delim_idx, anchors, next_delim = rz.find_valid_points_structure(
+        scan.local_points
+    )
+    B = len(scan.ranges)
+    pack = np.zeros((B, 8), np.float32)
+    pack[:, 0:2] = local
+    D = len(delim_idx)
+    if D:
+        pack[:D, 2:4] = anchors
+        pack[:D, 4:6] = local[delim_idx]
+    pack[:, 6] = next_delim.astype(np.float32)
+    flags = finite.astype(np.int32)
+    if D:
+        flags[:D] |= 2
+    pack[:, 7] = flags.astype(np.float32)
+    try:
+        scan._stream_arrays = pack
+    except AttributeError:
+        pass
+    return pack
 
 
 def _stream_raster_impl(
@@ -331,36 +368,7 @@ class StreamingPipeline:
 
     # -- state <-> host sync -----------------------------------------------
     def _scan_stream_arrays(self, scan):
-        """Single packed (B, 8) f32 upload buffer per scan (one h2d
-        transfer instead of seven): [local_xy, anchor_xy, current_xy,
-        next_delim, flags(bit0 finite, bit1 delim-valid)]."""
-        cached = getattr(scan, "_stream_arrays", None)
-        if cached is not None:
-            return cached
-        local = np.nan_to_num(
-            scan.local_points.astype(np.float32), nan=0.0
-        )
-        finite = np.isfinite(scan.ranges)
-        delim_idx, anchors, next_delim = rz.find_valid_points_structure(
-            scan.local_points
-        )
-        B = self.B
-        pack = np.zeros((B, 8), np.float32)
-        pack[:, 0:2] = local
-        D = len(delim_idx)
-        if D:
-            pack[:D, 2:4] = anchors
-            pack[:D, 4:6] = local[delim_idx]
-        pack[:, 6] = next_delim.astype(np.float32)
-        flags = finite.astype(np.int32)
-        if D:
-            flags[:D] |= 2
-        pack[:, 7] = flags.astype(np.float32)
-        try:
-            scan._stream_arrays = pack
-        except AttributeError:
-            pass
-        return pack
+        return scan_pack(scan)
 
     def refresh_state(self) -> None:
         """(Re)build device state from the host's authoritative running
@@ -419,7 +427,7 @@ class StreamingPipeline:
         self.pending.append(scan)
         # async chunked upload: streams during accumulation
         self._chunk_np.append(self._scan_stream_arrays(scan))
-        if len(self._chunk_np) >= 16:
+        if len(self._chunk_np) >= UPLOAD_CHUNK:
             self._pending_dev.append(
                 jax.device_put(np.stack(self._chunk_np))
             )
