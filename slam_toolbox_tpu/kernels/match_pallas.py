@@ -197,12 +197,10 @@ def _make_bit_scatter_kernel(n_bands: int, nb_r: int, rows: int):
     return kern
 
 
-def scatter_occupancy_parity(points, valid, offset, scale, grid_size: int):
-    """Binary occupancy of `points` in the four parity subgrids:
-    (4, gh, gh) float32 with occ[2*(iy&1)+(ix&1), iy>>1, ix>>1] = 1.
-
-    Replaces jnp's scatter (see _make_bit_scatter_kernel). Exact: same
-    cells set, OR semantics."""
+def _scatter_bits(points, valid, offset, scale, grid_size: int):
+    """Banded bit-scatter of `points` into packed parity bit planes:
+    (4, round_up(gh, 8), 128) int32 where cell (p=2*(iy&1)+(ix&1),
+    q=iy>>1, t=ix>>1) is bit (t // 128) of word (p, q, t % 128)."""
     from slam_toolbox_tpu.kernels.rasterize import round_half_away
 
     G = grid_size
@@ -233,7 +231,7 @@ def scatter_occupancy_parity(points, valid, offset, scale, grid_size: int):
     ).astype(jnp.int32)
     tbl = jnp.concatenate([starts, srt & 0x1FFFF])
 
-    bits = pl.pallas_call(
+    return pl.pallas_call(
         _make_bit_scatter_kernel(n_bands, nb_r, rows),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -241,11 +239,166 @@ def scatter_occupancy_parity(points, valid, offset, scale, grid_size: int):
         interpret=jax.default_backend() != "tpu",
     )(tbl)
 
+
+def scatter_occupancy_parity(points, valid, offset, scale, grid_size: int):
+    """Binary occupancy of `points` in the four parity subgrids:
+    (4, gh, gh) float32 with occ[2*(iy&1)+(ix&1), iy>>1, ix>>1] = 1.
+
+    Replaces jnp's scatter (see _make_bit_scatter_kernel). Exact: same
+    cells set, OR semantics."""
+    gh = (grid_size + 1) // 2
+    bits = _scatter_bits(points, valid, offset, scale, grid_size)
     nb_bits = (gh + SCAT_TC - 1) // SCAT_TC
     planes = jnp.concatenate(
         [(bits >> b) & 1 for b in range(nb_bits)], axis=2
     )
     return planes[:, :gh, :gh].astype(jnp.float32)
+
+
+SMEAR_TB = 32            # output rows per smear band (= PAD_TOP; the
+                         # aligned-read trick below needs this equality)
+
+
+def _make_smear_kernel(gh: int, hk: int, NL: int, g_odd: bool, wp: int):
+    """Banded cross-parity Gaussian max-smear + quantize, consuming the
+    bit-scatter's packed bit planes directly.
+
+    XLA materializes the 41-tap max chain as full-grid intermediates
+    (~2.7 GB of HBM traffic per scan at G=2051 — measured 3.3 ms/scan,
+    63% of the whole streaming batch program). This kernel keeps each
+    band's working set in VMEM: unpack bits -> row-pass max (cross
+    row-parity) -> col-pass max (cross col-parity) -> round(100*z) int8 ->
+    padded parity layout. Total HBM traffic ~11 MB/scan.
+
+    Exactness vs the XLA path (tested): identical 0/1 inputs, identical
+    f32 weight products fl(w_k * fl(w_j * x)), max over the same tap sets
+    (order-independent), identical zero boundary handling, identical
+    round-half-away quantization.
+    """
+    WCORE = 128 * NL
+    WU = WCORE + 256          # 128-lane zero halo each side for col taps
+
+    def kern(w_ref, bits_ref, out_ref, u_ref, r_ref):
+        i = pl.program_id(0)
+        # out block rows are subgrid rows [q0, q0+TB); the bits array has
+        # a 64-row top zero pad so the 96-row read at offset 32*i is
+        # sublane-aligned and covers input rows [q0-32, q0+64)
+        q0 = i * SMEAR_TB - PAD_TOP
+
+        # unpack bit planes to 0/1 f32: cell t = 128*l + lane lives in
+        # word lane, bit l (strided layout) — per 128-lane block the bit
+        # index is a compile-time constant
+        for p in range(4):
+            rows = bits_ref[p, pl.ds(i * SMEAR_TB, 3 * SMEAR_TB), :]
+            u_ref[p, :, 0:128] = jnp.zeros(
+                (3 * SMEAR_TB, 128), jnp.float32
+            )
+            for l in range(NL):
+                u_ref[p, :, 128 + 128 * l:256 + 128 * l] = (
+                    (rows >> l) & 1
+                ).astype(jnp.float32)
+            u_ref[p, :, 128 + WCORE:WU] = jnp.zeros(
+                (3 * SMEAR_TB, 128), jnp.float32
+            )
+
+        # row pass: output full row y = 2q+pr takes tap j from input
+        # plane parity (pr+j)&1 at subgrid row q + ((pr+j)>>1); output
+        # block row r is subgrid row q0+r, so input row u = 32 + r + sh
+        for pr in range(2):
+            for pc in range(2):
+                acc = None
+                for j in range(-hk, hk + 1):
+                    sp = 2 * ((pr + j) & 1) + pc
+                    sh = (pr + j) >> 1
+                    term = w_ref[j + hk] * u_ref[
+                        sp, 32 + sh:32 + sh + SMEAR_TB, :
+                    ]
+                    acc = term if acc is None else jnp.maximum(acc, term)
+                r_ref[2 * pr + pc] = acc
+
+        # col pass + quantize + placement at (PAD_TOP, PAD_LEFT)
+        qv = q0 + jax.lax.broadcasted_iota(
+            jnp.int32, (SMEAR_TB, WCORE), 0
+        )
+        tv = jax.lax.broadcasted_iota(jnp.int32, (SMEAR_TB, WCORE), 1)
+        from slam_toolbox_tpu.kernels.rasterize import round_half_away
+
+        for pr in range(2):
+            for pc in range(2):
+                acc = None
+                for k in range(-hk, hk + 1):
+                    sp = (pc + k) & 1
+                    csh = (pc + k) >> 1
+                    term = w_ref[k + hk] * r_ref[
+                        2 * pr + sp, :, 128 + csh:128 + csh + WCORE
+                    ]
+                    acc = term if acc is None else jnp.maximum(acc, term)
+                ok = (qv >= 0) & (qv < gh) & (tv < gh)
+                if g_odd and pr == 1:
+                    # subgrid row gh-1 of odd row-parity = full row G (OOB)
+                    ok &= qv != gh - 1
+                if g_odd and pc == 1:
+                    ok &= tv != gh - 1
+                v8 = round_half_away(acc * 100.0).astype(jnp.int8)
+                v8 = jnp.where(ok, v8, 0)
+                out_ref[2 * pr + pc] = jnp.concatenate([
+                    jnp.zeros((SMEAR_TB, PAD_LEFT), jnp.int8),
+                    v8,
+                    jnp.zeros(
+                        (SMEAR_TB, wp - PAD_LEFT - WCORE), jnp.int8
+                    ),
+                ], axis=1)
+
+    return kern
+
+
+def smear_vmem_bytes(G: int, acc_r: int = 32) -> int:
+    gh = (G + 1) // 2
+    hp, _ = parity_dims(G, acc_r)
+    NL = (gh + 127) // 128
+    WU = 128 * NL + 256
+    rpad = hp + 64
+    return (4 * rpad * 128 * 4) + (4 * 96 * WU * 4) + (4 * 32 * WU * 4)
+
+
+def smear_quantize_parity(bits, sigma_cells, grid_size: int,
+                          half_kernel: int, acc_r: int = 32):
+    """bits: the (4, rows, 128) int32 bit planes from the banded scatter
+    -> (4, HP, WP) int8 quantized smeared parity grid."""
+    G = grid_size
+    gh = (G + 1) // 2
+    hp, wp = parity_dims(G, acc_r)
+    NL = (gh + 127) // 128
+    n_bands = hp // SMEAR_TB
+    rpad = SMEAR_TB * n_bands + 64
+    assert PAD_TOP == SMEAR_TB and hp % SMEAR_TB == 0
+    assert half_kernel + 1 <= 2 * SMEAR_TB and half_kernel <= 2 * 128 - 2
+
+    k = jnp.arange(-half_kernel, half_kernel + 1, dtype=jnp.float32)
+    w = jnp.exp(-0.5 * (k / sigma_cells) ** 2)
+
+    bp = jnp.zeros((4, rpad, 128), jnp.int32)
+    bp = jax.lax.dynamic_update_slice(bp, bits, (0, 64, 0))
+
+    WU = 128 * NL + 256
+    return pl.pallas_call(
+        _make_smear_kernel(gh, half_kernel, NL, G % 2 == 1, wp),
+        grid=(n_bands,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (4, SMEAR_TB, wp), lambda i: (0, i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((4, hp, wp), jnp.int8),
+        scratch_shapes=[
+            pltpu.VMEM((4, 3 * SMEAR_TB, WU), jnp.float32),
+            pltpu.VMEM((4, SMEAR_TB, WU), jnp.float32),
+        ],
+        interpret=jax.default_backend() != "tpu",
+    )(w, bp)
 
 
 def rasterize_parity(
@@ -261,7 +414,11 @@ def rasterize_parity(
     the (4, gh, gh) subgrids and the separable smear runs cross-parity:
     output row-parity pr at subgrid row q (full row 2q+pr) takes its
     max over taps j from input plane parity (pr+j)&1 at row q+((pr+j)>>1).
-    Bit-exact vs prepare_parity_grid(quantize(rasterize_smear(...))):
+    The smear itself runs in the banded Pallas kernel above when its
+    working set fits VMEM (the XLA tap chain costs ~3.3 ms/scan at
+    G=2051; the kernel ~0.5 ms); the XLA tap chain remains as the
+    fallback. Bit-exact vs
+    prepare_parity_grid(quantize(rasterize_smear(...))):
     same products, same max tree, same rounding (tested).
     """
     from slam_toolbox_tpu.kernels.rasterize import round_half_away
@@ -269,6 +426,16 @@ def rasterize_parity(
     G = grid_size
     gh = (G + 1) // 2
     hp, wp = parity_dims(G, acc_r)
+
+    if (
+        half_kernel > 0
+        and half_kernel + 1 <= 2 * SMEAR_TB
+        and smear_vmem_bytes(G, acc_r) < 10 * 2**20
+    ):
+        bits = _scatter_bits(points, valid, offset, scale, G)
+        return smear_quantize_parity(
+            bits, sigma_cells, G, half_kernel, acc_r
+        )
 
     occ = scatter_occupancy_parity(
         points, valid, offset, scale, G
