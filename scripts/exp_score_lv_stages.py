@@ -29,7 +29,7 @@ def batch_variants():
     odoms_dev = jnp.asarray(odoms)
     real_update = st._stream_update_impl
 
-    def run(tag, update_fn=None, patch=None, reps=3):
+    def run(tag, update_fn=None, patch=None, reps=4):
         st._stream_update_impl = update_fn or real_update
         saved = {}
         if patch:
@@ -53,19 +53,18 @@ def batch_variants():
 
         out = call(state_dev)
         out["results"].block_until_ready()
-        ts = []
+        np.asarray(out["results"])  # real sync: block alone acks early
+        t0 = time.perf_counter()
         cur = state_dev
         for _ in range(reps):
-            t0 = time.perf_counter()
-            out = call(cur)
-            out["results"].block_until_ready()
-            ts.append(time.perf_counter() - t0)
-            cur = out
+            cur = call(cur)
+        np.asarray(cur["results"])  # one final fetch syncs the chain
+        dt = (time.perf_counter() - t0) / reps
         st._stream_update_impl = real_update
         for mod, name, orig in saved.values():
             mod.__dict__[name] = orig
-        print(f"batch/{tag:22s} best {1e3*min(ts):7.1f} ms "
-              f"({1e3*min(ts)/DRAIN:6.3f} ms/scan)", flush=True)
+        print(f"batch/{tag:22s} amort {1e3*dt:7.1f} ms "
+              f"({1e3*dt/DRAIN:6.3f} ms/scan) over {reps}", flush=True)
 
     run("full")
 
@@ -111,7 +110,7 @@ def lv_variants(pipe):
     real_raster = lv._chain_raster
     real_score = lv.__dict__["_score_impl"]
 
-    def run(tag, patch=None, reps=3):
+    def run(tag, patch=None, reps=6):
         saved = {}
         if patch:
             for name, fn in patch:
@@ -129,19 +128,19 @@ def lv_variants(pipe):
         )
         orig_jit = lv._loop_verify_jit
         lv._loop_verify_jit = fn
-        ts = []
-        for r in range(reps + 1):
-            t0 = time.perf_counter()
-            packs = lv.dispatch_loop_verify(loop, seq, query, [chain], cfg)
-            stacked = jnp.stack(packs)
-            stacked.block_until_ready()
-            if r:  # rep 0 = compile
-                ts.append(time.perf_counter() - t0)
+        packs = lv.dispatch_loop_verify(loop, seq, query, [chain], cfg)
+        np.asarray(jnp.stack(packs))  # compile + real sync
+        t0 = time.perf_counter()
+        allp = []
+        for r in range(reps):
+            allp += lv.dispatch_loop_verify(loop, seq, query, [chain], cfg)
+        np.asarray(jnp.stack(allp))
+        dt = (time.perf_counter() - t0) / reps
         lv._loop_verify_jit = orig_jit
         for name, orig in saved.items():
             lv.__dict__[name] = orig
-        print(f"lv/{tag:25s} best {1e3*min(ts):7.1f} ms  "
-              f"all {[round(1e3*x,1) for x in ts]}", flush=True)
+        print(f"lv/{tag:25s} amort {1e3*dt:7.1f} ms over {reps}",
+              flush=True)
 
     run("full")
 
