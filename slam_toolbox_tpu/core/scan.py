@@ -120,7 +120,7 @@ class LocalizedScan:
         "state_id", "unique_id", "_points", "_valid", "_barycenter", "_bbox",
         "_fvp", "_dev_local", "_stream_arrays",
         "_local_pts", "_filtered", "_local_bary", "_sensor_pose",
-        "_pack_dev",
+        "_pack_dev", "_pool_slot",
     )
 
     def __init__(self, laser: LaserConfig, ranges, odom_pose, time: float = 0.0):
@@ -143,6 +143,7 @@ class LocalizedScan:
         self._local_bary = None
         self._sensor_pose = None
         self._pack_dev = None
+        self._pool_slot = None
 
     # -- pose accessors (Karto.h:5536-5596) --------------------------------
     @property

@@ -659,8 +659,6 @@ class PoseGraph:
         (kernels/loop_verify.py) — the staged path pays two tunnel round
         trips and a second host chain-raster prep per loop event. Gate
         values and acceptance order are identical to the staged path."""
-        import jax.numpy as jnp
-
         from slam_toolbox_tpu.core.scan import LocalizedScan
         from slam_toolbox_tpu.kernels import loop_verify as lv
         from slam_toolbox_tpu.kernels.match import Matcher
@@ -668,12 +666,12 @@ class PoseGraph:
 
         seq = self.mapper.sequential_matcher
         with stage_timer(self.mapper.stats, "loop_verify"):
-            packs = lv.dispatch_loop_verify(
-                self.mapper.loop_matcher, seq, scan, chains, cfg
+            dev_rows = lv.dispatch_loop_verify(
+                self.mapper.loop_matcher, seq, scan, chains, cfg,
+                pool=getattr(self.mapper, "_pack_pool", None),
             )
-            stacked = jnp.stack(packs)
-            stacked.block_until_ready()
-            rows = np.asarray(stacked, np.float64)
+            dev_rows.block_until_ready()
+            rows = np.asarray(dev_rows, np.float64)
         from slam_toolbox_tpu.core.geometry import KT_TOLERANCE
 
         for chain, row in zip(chains, rows):

@@ -1,6 +1,7 @@
 """Fused loop-closure verification: coarse candidate match, response/
-variance gates, and the fine verification run as ONE device program per
-candidate chain (one dispatch + one fetch per chain batch).
+variance gates, and the fine verification for EVERY candidate chain of a
+loop event run as ONE device program (a lax.scan over chains; one
+dispatch + one fetch per event).
 
 The staged path (TryCloseLoop, Mapper.cpp:1500-1561) pays two tunnel
 round trips per loop event — coarse batch, host gates, fine batch — plus
@@ -27,7 +28,11 @@ import numpy as np
 
 from slam_toolbox_tpu.kernels.match import _score_impl, _raster_quant_impl
 
-CHAIN_BUCKETS = (16, 32, 64, 128)
+# bucket floors are deliberately coarse: every (NC, Cb) pair is its own
+# executable and remote compiles cost minutes late in a tunnel session —
+# one (2, 64) program covers typical loop events end-to-end, at the cost
+# of some wasted device work (~7 ms per padded chain slot)
+CHAIN_BUCKETS = (64, 128)
 
 
 def chain_bucket(n: int) -> int:
@@ -127,8 +132,44 @@ def _loop_verify_impl(
     )
 
 
+def _loop_verify_scan_impl(
+    packs, poses, cvalid,              # (NC, Cb, B, 8), (NC, Cb, 3), (NC, Cb)
+    scan_local, scan_finite, center, gates,
+    loop_args: dict, seq_args: dict,
+    loop_sigma, seq_sigma, loop_half_span, seq_half_span,
+    loop_G: int, loop_hk: int, loop_acc_r: int, loop_parity: bool,
+    loop_na_c: int, loop_na_f: int,
+    seq_G: int, seq_hk: int, seq_acc_r: int, seq_parity: bool,
+    seq_na_c: int, seq_na_f: int,
+):
+    """All of one loop event's candidate chains verified in ONE program:
+    a lax.scan over chains. Two reasons: (a) one dispatch+fetch per event
+    instead of per chain; (b) XLA compiles the straight-line verify
+    pathologically (~88 ms/chain measured vs 14 ms scan-wrapped at
+    length 1, 7 ms amortized — the scan body gets the buffer reuse the
+    straight-line schedule misses)."""
+
+    def step(carry, inp):
+        pk, ps, cv = inp
+        row = _loop_verify_impl(
+            pk, ps, cv, scan_local, scan_finite, center, gates,
+            loop_args=loop_args, seq_args=seq_args,
+            loop_sigma=loop_sigma, seq_sigma=seq_sigma,
+            loop_half_span=loop_half_span, seq_half_span=seq_half_span,
+            loop_G=loop_G, loop_hk=loop_hk, loop_acc_r=loop_acc_r,
+            loop_parity=loop_parity, loop_na_c=loop_na_c,
+            loop_na_f=loop_na_f,
+            seq_G=seq_G, seq_hk=seq_hk, seq_acc_r=seq_acc_r,
+            seq_parity=seq_parity, seq_na_c=seq_na_c, seq_na_f=seq_na_f,
+        )
+        return carry, row
+
+    _, rows = jax.lax.scan(step, 0, (packs, poses, cvalid))
+    return rows  # (NC, 27)
+
+
 _loop_verify_jit = jax.jit(
-    _loop_verify_impl,
+    _loop_verify_scan_impl,
     static_argnames=(
         "loop_G", "loop_hk", "loop_acc_r", "loop_parity",
         "loop_na_c", "loop_na_f",
@@ -153,9 +194,24 @@ def _pack_dev(scan):
     return dev
 
 
-def dispatch_loop_verify(loop_matcher, seq_matcher, scan, chains, cfg):
-    """Dispatch one fused verify program per chain (no waits); returns
-    the in-flight (27,) packed device results."""
+def chain_count_bucket(n: int) -> int:
+    for b in (2, 4, 8):
+        if n <= b:
+            return b
+    return ((n + 7) // 8) * 8
+
+
+def dispatch_loop_verify(loop_matcher, seq_matcher, scan, chains, cfg,
+                         pool=None):
+    """Dispatch ONE fused verify program covering every candidate chain
+    of this loop event (scan-over-chains, see _loop_verify_scan_impl);
+    returns the in-flight (n_chains, 27) packed device rows.
+
+    `pool` is the streaming pipeline's device pack pool (PackPool): when
+    every chain scan has a pool slot, chain packs are gathered on device
+    by slot index — the per-scan upload path otherwise re-transfers
+    ~34 KB per chain scan through the tunnel on every loop event
+    (measured ~60 ms of the ~114 ms event cost)."""
     from slam_toolbox_tpu.kernels.match import _scan_device_cache
 
     center = np.asarray(scan.sensor_pose, np.float32)
@@ -164,42 +220,60 @@ def dispatch_loop_verify(loop_matcher, seq_matcher, scan, chains, cfg):
         cfg.loop_match_minimum_response_coarse,
         cfg.loop_match_maximum_variance_coarse,
     ], np.float32))
-    out = []
-    for chain in chains:
-        Cb = chain_bucket(len(chain))
-        poses = np.zeros((Cb, 3), np.float32)
-        cvalid = np.zeros(Cb, bool)
-        devs = []
+    NC = chain_count_bucket(len(chains))
+    Cb = max(chain_bucket(len(c)) for c in chains)
+    n_pose = np.zeros((NC, Cb, 3), np.float32)
+    n_valid = np.zeros((NC, Cb), bool)
+    pooled = pool is not None and all(
+        getattr(sc, "_pool_slot", None) is not None
+        for c in chains for sc in c
+    )
+    for ci, chain in enumerate(chains):
         for i, sc in enumerate(chain):
-            poses[i] = sc.sensor_pose
-            cvalid[i] = True
-            devs.append(_pack_dev(sc))
-        zero = _zero_pack(loop_matcher, devs[0].shape)
-        devs.extend([zero] * (Cb - len(chain)))
-        packs = jnp.stack(devs)
-        out.append(_loop_verify_jit(
-            packs, jnp.asarray(poses), jnp.asarray(cvalid),
-            local_dev, finite_dev, jnp.asarray(center), gates,
-            loop_args=dict(loop_matcher._score_args),
-            seq_args=dict(seq_matcher._score_args),
-            loop_sigma=np.float32(loop_matcher.sigma_cells),
-            seq_sigma=np.float32(seq_matcher.sigma_cells),
-            loop_half_span=np.float32(
-                0.5 * (loop_matcher.G - 1) * loop_matcher.resolution),
-            seq_half_span=np.float32(
-                0.5 * (seq_matcher.G - 1) * seq_matcher.resolution),
-            loop_G=loop_matcher.G, loop_hk=loop_matcher.half_kernel,
-            loop_acc_r=loop_matcher._acc_r,
-            loop_parity=loop_matcher.use_pallas,
-            loop_na_c=loop_matcher._na_coarse,
-            loop_na_f=loop_matcher._na_fine,
-            seq_G=seq_matcher.G, seq_hk=seq_matcher.half_kernel,
-            seq_acc_r=seq_matcher._acc_r,
-            seq_parity=seq_matcher.use_pallas,
-            seq_na_c=seq_matcher._na_coarse,
-            seq_na_f=seq_matcher._na_fine,
-        ))
-    return out
+            n_pose[ci, i] = sc.sensor_pose
+            n_valid[ci, i] = True
+    if pooled:
+        idx = np.zeros((NC, Cb), np.int32)  # slot 0 is the zero row
+        for ci, chain in enumerate(chains):
+            for i, sc in enumerate(chain):
+                idx[ci, i] = sc._pool_slot
+        packs = pool.gather(idx)
+    else:
+        devs = []
+        zero = None
+        for ci, chain in enumerate(chains):
+            for i, sc in enumerate(chain):
+                devs.append(_pack_dev(sc))
+            if zero is None:
+                zero = _zero_pack(loop_matcher, devs[0].shape)
+            devs.extend([zero] * (Cb - len(chain)))
+        if zero is None:
+            zero = jnp.zeros((len(scan.ranges), 8), jnp.float32)
+        devs.extend([zero] * ((NC - len(chains)) * Cb))
+        packs = jnp.stack(devs).reshape(NC, Cb, *devs[0].shape)
+    rows = _loop_verify_jit(
+        packs, jnp.asarray(n_pose), jnp.asarray(n_valid),
+        local_dev, finite_dev, jnp.asarray(center), gates,
+        loop_args=dict(loop_matcher._score_args),
+        seq_args=dict(seq_matcher._score_args),
+        loop_sigma=np.float32(loop_matcher.sigma_cells),
+        seq_sigma=np.float32(seq_matcher.sigma_cells),
+        loop_half_span=np.float32(
+            0.5 * (loop_matcher.G - 1) * loop_matcher.resolution),
+        seq_half_span=np.float32(
+            0.5 * (seq_matcher.G - 1) * seq_matcher.resolution),
+        loop_G=loop_matcher.G, loop_hk=loop_matcher.half_kernel,
+        loop_acc_r=loop_matcher._acc_r,
+        loop_parity=loop_matcher.use_pallas,
+        loop_na_c=loop_matcher._na_coarse,
+        loop_na_f=loop_matcher._na_fine,
+        seq_G=seq_matcher.G, seq_hk=seq_matcher.half_kernel,
+        seq_acc_r=seq_matcher._acc_r,
+        seq_parity=seq_matcher.use_pallas,
+        seq_na_c=seq_matcher._na_coarse,
+        seq_na_f=seq_matcher._na_fine,
+    )
+    return rows[:len(chains)]
 
 
 _ZEROS = {}

@@ -303,17 +303,24 @@ def _make_smear_kernel(gh: int, hk: int, NL: int, g_odd: bool, wp: int):
 
         # row pass: output full row y = 2q+pr takes tap j from input
         # plane parity (pr+j)&1 at subgrid row q + ((pr+j)>>1); output
-        # block row r is subgrid row q0+r, so input row u = 32 + r + sh
+        # block row r is subgrid row q0+r, so input row u = 32 + r + sh.
+        # Taps +-j share the weight (w is exactly symmetric) and the
+        # source plane ((pr+j) and (pr-j) have the same parity), so each
+        # pair costs one multiply: max(w*a, w*b) == w*max(a, b) bitwise
+        # for w > 0 (multiplication is monotone under round-to-nearest).
+        def u_slice(sp, sh):
+            return u_ref[sp, 32 + sh:32 + sh + SMEAR_TB, :]
+
         for pr in range(2):
             for pc in range(2):
-                acc = None
-                for j in range(-hk, hk + 1):
+                acc = w_ref[hk] * u_slice(2 * (pr & 1) + pc, pr >> 1)
+                for j in range(1, hk + 1):
                     sp = 2 * ((pr + j) & 1) + pc
-                    sh = (pr + j) >> 1
-                    term = w_ref[j + hk] * u_ref[
-                        sp, 32 + sh:32 + sh + SMEAR_TB, :
-                    ]
-                    acc = term if acc is None else jnp.maximum(acc, term)
+                    pair = jnp.maximum(
+                        u_slice(sp, (pr + j) >> 1),
+                        u_slice(sp, (pr - j) >> 1),
+                    )
+                    acc = jnp.maximum(acc, w_ref[hk + j] * pair)
                 r_ref[2 * pr + pc] = acc
 
         # col pass + quantize + placement at (PAD_TOP, PAD_LEFT)
@@ -323,16 +330,19 @@ def _make_smear_kernel(gh: int, hk: int, NL: int, g_odd: bool, wp: int):
         tv = jax.lax.broadcasted_iota(jnp.int32, (SMEAR_TB, WCORE), 1)
         from slam_toolbox_tpu.kernels.rasterize import round_half_away
 
+        def r_slice(pr, sp, csh):
+            return r_ref[2 * pr + sp, :, 128 + csh:128 + csh + WCORE]
+
         for pr in range(2):
             for pc in range(2):
-                acc = None
-                for k in range(-hk, hk + 1):
+                acc = w_ref[hk] * r_slice(pr, pc & 1, pc >> 1)
+                for k in range(1, hk + 1):
                     sp = (pc + k) & 1
-                    csh = (pc + k) >> 1
-                    term = w_ref[k + hk] * r_ref[
-                        2 * pr + sp, :, 128 + csh:128 + csh + WCORE
-                    ]
-                    acc = term if acc is None else jnp.maximum(acc, term)
+                    pair = jnp.maximum(
+                        r_slice(pr, sp, (pc + k) >> 1),
+                        r_slice(pr, sp, (pc - k) >> 1),
+                    )
+                    acc = jnp.maximum(acc, w_ref[hk + k] * pair)
                 ok = (qv >= 0) & (qv < gh) & (tv < gh)
                 if g_odd and pr == 1:
                     # subgrid row gh-1 of odd row-parity = full row G (OOB)

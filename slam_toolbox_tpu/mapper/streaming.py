@@ -30,7 +30,7 @@ from slam_toolbox_tpu.core import geometry
 from slam_toolbox_tpu.kernels import rasterize as rz
 from slam_toolbox_tpu.kernels.match import _score_impl, _raster_quant_impl
 
-RESULT_CAP = 128
+RESULT_CAP = 256
 # async upload chunk size (scans per h2d transfer): small chunks overlap
 # accumulation better, big chunks pay fewer serialized tunnel round trips
 import os as _os
@@ -294,6 +294,53 @@ def _corrected_at(sensor_pose, offset_pose):
     ])
 
 
+class PackPool:
+    """Device-resident pool of per-scan pack buffers.
+
+    The pipeline uploads every scan's (B, 8) pack once for the batch
+    program; retaining those rows here lets later consumers (loop-closure
+    verification, chain matching) gather whole chains by slot index
+    instead of re-uploading ~34 KB per chain scan through the tunnel on
+    every loop event. Row 0 is reserved as a zero row (the pad target),
+    so valid slots start at 1. Slots are append-only; removed scans just
+    leave stale rows (34 KB each — revisit with a free list if lifelong
+    sessions at the 10^5-scan scale need it).
+    """
+
+    def __init__(self, n_beams: int, cap: int = 2048):
+        self.B = n_beams
+        self.cap = cap
+        self.n = 1  # row 0 = zeros
+        self.buf = jnp.zeros((cap, n_beams, 8), jnp.float32)
+
+    def append_batch(self, packs, scans) -> None:
+        """packs: (N, B, 8) device array whose first len(scans) rows are
+        the scans' packs (pad rows beyond that are harmless — they are
+        overwritten by the next append)."""
+        n = len(scans)
+        if n == 0:
+            return
+        while self.n + packs.shape[0] > self.cap:
+            self.cap *= 2
+            self.buf = jax.lax.dynamic_update_slice(
+                jnp.zeros((self.cap, self.B, 8), jnp.float32),
+                self.buf, (0, 0, 0),
+            )
+        self.buf = jax.lax.dynamic_update_slice(
+            self.buf, packs, (self.n, 0, 0)
+        )
+        for i, s in enumerate(scans):
+            try:
+                s._pool_slot = self.n + i
+            except AttributeError:
+                pass
+        self.n += n
+
+    def gather(self, idx) -> jax.Array:
+        """(...,) int32 slot indices -> (..., B, 8) packs (device)."""
+        return jnp.take(self.buf, jnp.asarray(idx), axis=0)
+
+
 class StreamingPipeline:
     """Drives a Mapper through the device-resident pipeline."""
 
@@ -336,6 +383,8 @@ class StreamingPipeline:
         self.post_finish = None
         self._pending_dev = []   # uploaded 16-scan chunk arrays
         self._chunk_np = []      # host packs awaiting the next chunk
+        self.pack_pool = PackPool(self.B)
+        mapper._pack_pool = self.pack_pool  # loop verify gathers from it
 
     def warm(self) -> None:
         """Compile the batch program without touching pipeline state (a
@@ -467,6 +516,7 @@ class StreamingPipeline:
         if N > n:
             parts.append(jnp.zeros((N - n, B, 8), jnp.float32))
         packs = parts[0] if len(parts) == 1 else jnp.concatenate(parts, 0)
+        self.pack_pool.append_batch(packs, scans)
         self.state = self._run_batch(
             self.state, packs, jnp.asarray(odoms), jnp.int32(n),
         )

@@ -86,3 +86,46 @@ def test_fused_matches_staged_cpu():
     np.testing.assert_allclose(
         got_f.sensor_pose, fine.sensor_pose, atol=1e-5
     )
+
+
+def test_pooled_gather_matches_upload_path():
+    """dispatch_loop_verify with a PackPool (device slot gathers) must
+    produce the same rows as the per-scan upload path."""
+    from slam_toolbox_tpu.mapper.streaming import PackPool, scan_pack
+
+    laser = LaserConfig(
+        min_range=0.05, max_range=10.0, range_threshold=8.0,
+        angular_resolution=np.deg2rad(2.0),
+    )
+    world = SegmentWorld.rooms(16.0, 10.0)
+    sim = LidarSimulator(world, laser, range_noise=0.01,
+                         odom_noise=(0.0, 0.0), seed=5)
+    wp = np.array([(-6.0, -3.5), (1.5, -3.5), (5.5, -3.5), (5.5, 0.5)])
+    pairs = sim.simulate(wp, step=0.5)
+    scans = []
+    for scan, _true in pairs:
+        scan.state_id = len(scans)
+        scan.unique_id = len(scans)
+        scans.append(scan)
+
+    seq = _matcher(0.3, 0.02, laser.range_threshold)
+    loop = _matcher(2.0, 0.05, laser.range_threshold)
+    query = scans[-1]
+    chains = [scans[0:6], scans[6:12]]
+    cfg = SimpleNamespace(
+        loop_match_minimum_response_coarse=0.2,
+        loop_match_maximum_variance_coarse=5.0,
+    )
+
+    ref = np.asarray(lv.dispatch_loop_verify(
+        loop, seq, query, chains, cfg
+    ), np.float64)
+
+    pool = PackPool(laser.n_beams, cap=16)  # force a growth step
+    batch = np.stack([scan_pack(s) for s in scans[:12]])
+    pool.append_batch(jnp.asarray(batch), scans[:12])
+    assert all(s._pool_slot is not None for s in scans[:12])
+    got = np.asarray(lv.dispatch_loop_verify(
+        loop, seq, query, chains, cfg, pool=pool
+    ), np.float64)
+    np.testing.assert_allclose(got, ref, atol=1e-6)
