@@ -121,10 +121,11 @@ def main():
     # never runs (pass 2 itself takes ~2 s)
     budget = float(os.environ.get("BENCH_BUDGET_S", "900"))
     deadline = time.time() + budget
-    # drain cadence (two-pass wall-clock): 57 scans/s @48, 76 @96 with ATE
-    # 0.016-0.018 m (loop closures still fire every batch; larger batches
-    # trade correction latency for throughput)
-    drain = int(os.environ.get("BENCH_DRAIN", "96"))
+    # drain cadence (two-pass wall-clock): 168 scans/s @96, 187 @192 with
+    # ATE 0.018 m (loop closures still fire every batch; larger batches
+    # trade correction latency for throughput; partial flushes cost only
+    # their own iterations — dynamic fori trip)
+    drain = int(os.environ.get("BENCH_DRAIN", "192"))
 
     cfg, laser, data = make_workload()
 

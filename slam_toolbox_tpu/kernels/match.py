@@ -48,8 +48,7 @@ def _search_offsets(extent: float, step: float) -> np.ndarray:
     return -extent + step * np.arange(n, dtype=np.float64)
 
 
-@functools.partial(jax.jit, static_argnames=("fine",))
-def _match_pass(
+def _match_pass_impl(
     grid_flat,     # (G*G + 1,) int8; last element 0 = OOB/invalid sink
     g_size,        # () int32 grid side G
     offset,        # (2,) f32 world coords of cell (0,0)
@@ -842,17 +841,40 @@ def _score_impl(
     return jnp.concatenate([best_f[None], mean_f, cov.reshape(-1)])
 
 
+def _scan1(fn):
+    """Length-1 lax.scan shell around a jittable impl.
+
+    XLA TPU compiles big straight-line top-level programs pathologically
+    (no cross-op buffer reuse / scheduling the loop path gets): the same
+    raster+score match measured 74 ms straight-line vs 15.5 ms inside a
+    length-1 scan (results bit-identical); the fused loop-verify program
+    showed the same ~6x ratio. Wrap every top-level program whose body is
+    also used inside real loops."""
+    import functools as _ft
+
+    @_ft.wraps(fn)
+    def wrapped(*args, **kw):
+        def step(c, _):
+            return c, fn(*args, **kw)
+
+        _, out = jax.lax.scan(step, 0, None, length=1)
+        return jax.tree_util.tree_map(lambda x: x[0], out)
+
+    return wrapped
+
+
 # module-level jits: one executable per (geometry statics, shapes) shared
 # by every Matcher / pipeline / session in the process
 _score_jit = jax.jit(
-    _score_impl,
+    _scan1(_score_impl),
     static_argnames=("grid_size", "na_coarse", "na_fine", "refine",
                      "acc_r"),
 )
 _raster_jit = jax.jit(
-    _raster_quant_impl,
+    _scan1(_raster_quant_impl),
     static_argnames=("grid_size", "half_kernel", "acc_r", "parity"),
 )
+_match_pass = jax.jit(_scan1(_match_pass_impl), static_argnames=("fine",))
 
 
 def build_index_tables(angles, local_pts, center, offset, scale, x_off, y_off):
