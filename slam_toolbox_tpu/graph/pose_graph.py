@@ -431,6 +431,33 @@ class PoseGraph:
         scan_pose = scan.reference_pose(use_bc)[:2]
         max_sq = cfg.link_scan_maximum_distance**2 + 1e-6
 
+        from slam_toolbox_tpu import native
+
+        if (
+            native.get_lib() is not None
+            and len(self.vertices) == 1
+            and scan.laser.name in self.vertices
+        ):
+            # single-sensor fast path: the whole walk runs natively over
+            # the incremental query structure (slots are present scans in
+            # state-id order, so chains are contiguous slot ranges)
+            scans, uid_to_idx, xy, indptr, indices = self._query_structure()
+            start = uid_to_idx.get(scan.unique_id)
+            if start is None:
+                return []
+            order = native.bfs_within_radius(
+                xy, indptr, indices, start, scan_pose,
+                cfg.link_scan_maximum_distance,
+            )
+            rows = native.near_chains_sweep(
+                xy, order, start, scan_pose,
+                cfg.link_scan_maximum_distance,
+            )
+            return [
+                [scans[i] for i in range(lo, hi)]
+                for lo, hi, valid in rows if valid
+            ]
+
         chains = []
         processed = set()
         for near in self.find_near_linked_scans(

@@ -62,6 +62,10 @@ def get_lib():
         i64, ptr, ptr, ptr, f64, f64, f64, i64,
         ctypes.POINTER(i64), ptr,
     ]
+    lib.near_chains_sweep.restype = i64
+    lib.near_chains_sweep.argtypes = [
+        i64, ptr, ptr, i64, i64, f64, f64, f64, ptr, ptr,
+    ]
     lib.radius_query.restype = i64
     lib.radius_query.argtypes = [i64, ptr, f64, f64, f64, ptr]
     lib.fvp_structure.restype = i64
@@ -86,6 +90,26 @@ def fvp_structure(points):
         next_delim.ctypes.data,
     )
     return delim_idx[:d].copy(), anchors[:d].copy(), next_delim
+
+
+def near_chains_sweep(xy, nears, scan_slot, center, max_distance):
+    """(rows (k, 3) of [lo, hi, valid]) chain slot ranges, or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(xy)
+    m = len(nears)
+    xy_c = np.ascontiguousarray(xy, np.float64)
+    nears_c = np.ascontiguousarray(nears, np.int64)
+    processed = np.zeros(n, np.uint8)
+    out = np.zeros((max(m, 1), 3), np.int64)
+    cnt = lib.near_chains_sweep(
+        n, xy_c.ctypes.data, nears_c.ctypes.data, m, int(scan_slot),
+        float(center[0]), float(center[1]),
+        float(max_distance) * float(max_distance) + 1e-6,
+        processed.ctypes.data, out.ctypes.data,
+    )
+    return out[:cnt].copy()
 
 
 def bfs_within_radius(xy, indptr, indices, start, center, max_distance):

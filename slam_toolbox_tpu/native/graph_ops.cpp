@@ -102,6 +102,61 @@ int64_t loop_candidate_sweep(
     return chain_len;  // trailing chain (caller applies no min per ref)
 }
 
+// Near-chain walk (FindNearChains, Mapper.cpp:1683-1793), single-sensor
+// slot space: for each near scan (BFS order, slots in state-id order),
+// extend a contiguous chain outward while candidates stay within
+// sqrt(max_sq) of (cx, cy). Encountering the query scan's slot marks the
+// chain invalid (it is still walked and marked processed, like the
+// reference). Missing state ids simply do not exist in slot space (the
+// reference `continue`s over them). Emits (lo, hi, valid) rows; returns
+// the row count.
+int64_t near_chains_sweep(
+    int64_t n,
+    const double* xy,          // (n, 2) reference positions
+    const int64_t* nears,      // (m,) near slots in BFS order
+    int64_t m,
+    int64_t scan_slot,         // slot of the query scan, or -1
+    double cx, double cy, double max_sq,
+    uint8_t* processed,        // (n,) zeroed by caller
+    int64_t* out               // (m, 3) rows [lo, hi, valid]
+) {
+    int64_t cnt = 0;
+    for (int64_t k = 0; k < m; ++k) {
+        const int64_t s = nears[k];
+        if (s == scan_slot || processed[s]) continue;
+        processed[s] = 1;
+        bool valid = true;
+        int64_t lo = s, hi = s + 1;
+        for (int64_t i = s - 1; i >= 0; --i) {
+            if (i == scan_slot) valid = false;
+            const double dx = xy[2 * i] - cx;
+            const double dy = xy[2 * i + 1] - cy;
+            if (dx * dx + dy * dy < max_sq) {
+                lo = i;
+                processed[i] = 1;
+            } else {
+                break;
+            }
+        }
+        for (int64_t i = s + 1; i < n; ++i) {
+            if (i == scan_slot) valid = false;
+            const double dx = xy[2 * i] - cx;
+            const double dy = xy[2 * i + 1] - cy;
+            if (dx * dx + dy * dy < max_sq) {
+                hi = i + 1;
+                processed[i] = 1;
+            } else {
+                break;
+            }
+        }
+        out[3 * cnt] = lo;
+        out[3 * cnt + 1] = hi;
+        out[3 * cnt + 2] = valid ? 1 : 0;
+        ++cnt;
+    }
+    return cnt;
+}
+
 // Radius query over all vertices (FindNearByVertices without the KD tree
 // — brute force is faster at these sizes and trivially vectorizes).
 int64_t radius_query(

@@ -87,3 +87,29 @@ def test_map_to_odom_transform(loop_run):
     # applying map->odom to the last odom pose gives the corrected pose
     recon = np.asarray(geometry.compose(sess.map_to_odom, odo[-1]))
     np.testing.assert_allclose(recon[:2], est[-1][:2], atol=1e-6)
+
+
+def test_near_chains_native_matches_python(loop_run):
+    """The native single-sensor chain walk must produce the same chains
+    (same scans, same order) as the pure-Python reference walk."""
+    from slam_toolbox_tpu import native
+
+    if native.get_lib() is None:
+        pytest.skip("no native toolchain")
+    sess = loop_run[0]
+    graph = sess.mapper.graph
+    scans = sess.mapper.all_processed_scans()
+    for query in (scans[-1], scans[len(scans) // 2]):
+        got = graph.find_near_chains(query)
+        lib = native._lib
+        native._lib = None
+        orig_build = native._build
+        native._build = lambda: False
+        try:
+            ref = graph.find_near_chains(query)
+        finally:
+            native._lib = lib
+            native._build = orig_build
+        got_ids = [[s.unique_id for s in c] for c in got]
+        ref_ids = [[s.unique_id for s in c] for c in ref]
+        assert got_ids == ref_ids
