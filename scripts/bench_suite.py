@@ -205,35 +205,45 @@ def cmd_config3(args) -> int:
     wps = np.concatenate([_serpentine(aisles, length, pitch)] * laps)
     data = sim.simulate(wps, step=0.3)
     print(f"# config3: {len(data)} raw scans, {laps} laps", file=sys.stderr)
-    sess = SlamSession(_cfg(), laser, streaming=True,
-                       drain_every=args.drain)
-    lifelong = LifelongMapper(sess.mapper)
-    sess._ensure_pipe().post_finish = lifelong.stream_hook
+
+    def one_pass(budget, tag):
+        sess = SlamSession(_cfg(), laser, streaming=True,
+                           drain_every=args.drain)
+        lifelong = LifelongMapper(sess.mapper)
+        sess._ensure_pipe().post_finish = lifelong.stream_hook
+        t0 = time.time()
+        lat = []
+        t_prev = t0
+        for i, (scan, tp) in enumerate(data):
+            out = sess.process_scan(scan.ranges, scan.odom_pose,
+                                    time=i * 0.1)
+            t_now = time.time()
+            if out is not None:
+                lat.append(t_now - t_prev)
+            t_prev = t_now
+            if i % 200 == 0:
+                nodes = sess.mapper.solver.n_nodes
+                print(f"# {tag} scan {i}/{len(data)} nodes={nodes} "
+                      f"t={t_now-t0:.0f}s", file=sys.stderr, flush=True)
+            if t_now - t0 > budget:
+                break
+        sess.flush()
+        wall = time.time() - t0
+        lat = np.asarray(lat)
+        stall = float(lat[lat >= 5.0].sum())
+        sps = len(lat) / max(wall - stall, 1e-9)
+        nodes = sess.mapper.solver.n_nodes
+        print(f"# {tag} final nodes={nodes} after {len(lat)} scans "
+              f"(decay bounds growth); wall={wall:.1f}s "
+              f"stalls={stall:.1f}s", file=sys.stderr)
+        return sps, len(lat)
 
     t0 = time.time()
-    lat = []
-    t_prev = t0
-    for i, (scan, tp) in enumerate(data):
-        out = sess.process_scan(scan.ranges, scan.odom_pose, time=i * 0.1)
-        t_now = time.time()
-        if out is not None:
-            lat.append(t_now - t_prev)
-        t_prev = t_now
-        if i % 200 == 0:
-            nodes = sess.mapper.solver.n_nodes
-            print(f"# config3 scan {i}/{len(data)} nodes={nodes} "
-                  f"t={t_now-t0:.0f}s", file=sys.stderr, flush=True)
-        if t_now - t0 > args.budget:
-            break
-    sess.flush()
-    wall = time.time() - t0
-    lat = np.asarray(lat)
-    stall = float(lat[lat >= 5.0].sum())
-    sps = len(lat) / max(wall - stall, 1e-9)
-    nodes = sess.mapper.solver.n_nodes
-    print(f"# config3 final nodes={nodes} after {len(lat)} scans "
-          f"(decay bounds growth); wall={wall:.1f}s stalls={stall:.1f}s",
-          file=sys.stderr)
+    sps, n = one_pass(args.budget * 0.7, "config3w")
+    if time.time() - t0 < args.budget - 60.0:
+        sps2, n2 = one_pass(args.budget - (time.time() - t0), "config3")
+        if n2 >= 0.9 * n:
+            sps = sps2
     _emit("lifelong_warehouse_scans_per_sec", sps, "scans/s", 50.0)
     return 0
 

@@ -135,6 +135,58 @@ def _finish(sess, out_prefix, dt, n, est, gt, odo):
     print(json.dumps(metrics))
 
 
+def cmd_localize(args) -> int:
+    """Elastic localization against a serialized prior graph (the
+    deserialize + LOCALIZE_AT_POSE service flow)."""
+    from slam_toolbox_tpu.api import SlamSession
+    from slam_toolbox_tpu.api.slam import MatchType
+    from slam_toolbox_tpu.core.params import LOCALIZATION
+    from slam_toolbox_tpu.core.scan import LaserConfig
+
+    z = np.load(args.dataset)
+    laser = LaserConfig(
+        min_range=float(z["min_range"]), max_range=float(z["max_range"]),
+        range_threshold=float(z["range_threshold"]),
+        min_angle=float(z["min_angle"]), max_angle=float(z["max_angle"]),
+        angular_resolution=float(z["angular_resolution"]),
+    )
+    cfg = LOCALIZATION.replace(minimum_time_interval=0.0)
+    sess = SlamSession(cfg, laser, mode="localization",
+                       streaming=args.streaming, drain_every=args.drain)
+    init = (np.asarray([float(v) for v in args.initial_pose.split(",")])
+            if args.initial_pose else np.asarray(z["odom"][0], np.float64))
+    sess.deserialize(args.snapshot, MatchType.LOCALIZE_AT_POSE,
+                     initial_pose=init)
+    t0 = time.time()
+    poses, errs = [], []
+    gt = z["gt"] if "gt" in z else None
+    for i in range(len(z["ranges"])):
+        t = float(z["times"][i]) if "times" in z else i * 0.1
+        out = sess.process_scan(z["ranges"][i], z["odom"][i], time=t)
+        if out is not None:
+            poses.append(out[0])
+            if gt is not None:
+                errs.append(float(np.hypot(*(out[0][:2] - gt[i][:2]))))
+    sess.flush()
+    dt = time.time() - t0
+    poses = np.stack(poses) if poses else np.zeros((0, 3))
+    np.savetxt(args.out + "_localization.txt", poses)
+    metrics = {
+        "scans_localized": len(poses),
+        "wall_time_s": round(dt, 2),
+        "scans_per_sec": round(len(poses) / dt, 2) if dt > 0 else None,
+        "buffer_nodes": len(sess.mapper.localization_buffer),
+    }
+    if errs:
+        e = np.asarray(errs)
+        metrics["err_rmse_m"] = round(float(np.sqrt(np.mean(e * e))), 4)
+        metrics["err_p90_m"] = round(float(np.percentile(e, 90)), 4)
+    with open(args.out + "_metrics.json", "w") as f:
+        json.dump(metrics, f, indent=2)
+    print(json.dumps(metrics))
+    return 0
+
+
 def cmd_merge(args) -> int:
     from slam_toolbox_tpu.api.merge import MapMerger
 
@@ -169,6 +221,19 @@ def main(argv=None) -> int:
     r.add_argument("--drain", type=int, default=48,
                    help="streaming drain cadence (scans per device batch)")
     r.set_defaults(fn=cmd_run)
+
+    lz = sub.add_parser(
+        "localize", help="localize a dataset against a prior graph"
+    )
+    lz.add_argument("--snapshot", required=True,
+                    help="serialized .posegraph.npz prior")
+    lz.add_argument("--dataset", required=True)
+    lz.add_argument("--out", default="/tmp/slam_localize")
+    lz.add_argument("--initial-pose", default=None,
+                    help="x,y,heading (default: dataset's first odom)")
+    lz.add_argument("--streaming", action="store_true")
+    lz.add_argument("--drain", type=int, default=8)
+    lz.set_defaults(fn=cmd_localize)
 
     m = sub.add_parser("merge", help="merge serialized sessions")
     m.add_argument("snapshots", nargs="+")
