@@ -231,12 +231,19 @@ class SlamSession:
     def _loc_post_finish(self, scan) -> bool:
         """Elastic-buffer bookkeeping per drained scan
         (AddScanToLocalizationBuffer, Mapper.cpp:2911-2962). Returns True
-        when eviction removed a node, so the pipeline resyncs its device
-        ring against the changed running buffer."""
+        only when eviction removed a node that was still in the RUNNING
+        buffer (the device ring mirrors the running buffer; evicting an
+        old node elsewhere in the map does not touch it — a resync there
+        costs a full ring re-upload per drain for nothing)."""
         m = self.mapper
-        n_before = len(m.localization_buffer)
+        was_running = False
+        if len(m.localization_buffer) >= m.config.scan_buffer_size:
+            old = m.localization_buffer[0]
+            was_running = old in m.sensor_manager.get_running_scans(
+                old.laser.name
+            )
         m.add_scan_to_localization_buffer(scan)
-        return len(m.localization_buffer) <= n_before
+        return was_running
 
     def flush(self) -> None:
         """Drain the streaming pipeline (no-op otherwise)."""

@@ -61,6 +61,8 @@ class PoseGraph:
         # sweep order; state ids are monotone so append keeps it sorted)
         self._q_by_name: Dict[str, List[int]] = {}
         self._q_xy = np.zeros((256, 2))
+        self._q_present = np.zeros(256, np.uint8)
+        self._q_tombstones = 0
         self._q_esrc = np.zeros(512, np.int64)
         self._q_edst = np.zeros(512, np.int64)
         self._q_ne = 0
@@ -84,8 +86,12 @@ class PoseGraph:
         self._q_by_name.setdefault(scan.laser.name, []).append(i)
         if i >= len(self._q_xy):
             self._q_xy = np.resize(self._q_xy, (2 * len(self._q_xy), 2))
+            self._q_present = np.resize(
+                self._q_present, 2 * len(self._q_present)
+            )
         use_bc = self.mapper.config.use_scan_barycenter
         self._q_xy[i] = scan.reference_pose(use_bc)[:2]
+        self._q_present[i] = 1
 
     def _q_add_edge(self, a_uid: int, b_uid: int) -> None:
         ia = self._q_uid_to_idx.get(a_uid)
@@ -114,6 +120,9 @@ class PoseGraph:
         }
         n = max(len(self._q_scans), 1)
         self._q_xy = np.zeros((max(256, 2 * n), 2))
+        self._q_present = np.zeros(max(256, 2 * n), np.uint8)
+        self._q_present[:len(self._q_scans)] = 1
+        self._q_tombstones = 0
         self._q_ne = 0
         self._q_esrc = np.zeros(max(512, 4 * n), np.int64)
         self._q_edst = np.zeros_like(self._q_esrc)
@@ -124,7 +133,13 @@ class PoseGraph:
         self._q_csr = None
 
     def _query_structure(self):
-        """(scans, uid_to_idx, xy, indptr, indices) for native queries."""
+        """(scans, uid_to_idx, xy, present, indptr, indices) for native
+        queries. Removals are tombstones (present=0; stale CSR edges are
+        masked by the present check) — a full rebuild per removal would be
+        O(N) per scan in localization's steady evict-one-per-scan regime;
+        compaction runs when tombstones pile up."""
+        if self._q_tombstones > max(64, len(self._q_scans) // 4):
+            self._q_dirty = True
         if self._q_dirty:
             self._q_rebuild()
         n = len(self._q_scans)
@@ -157,7 +172,7 @@ class PoseGraph:
         indptr, indices = self._q_csr
         return (
             self._q_scans, self._q_uid_to_idx, self._q_xy[:n],
-            indptr, indices,
+            self._q_present[:n], indptr, indices,
         )
 
     # -- vertex / edge primitives ------------------------------------------
@@ -214,7 +229,13 @@ class PoseGraph:
                 )
         self.adjacency.pop(uid, None)
         self._bump()
-        self._q_dirty = True
+        # tombstone in the query structure (O(1); compaction is lazy)
+        slot = self._q_uid_to_idx.pop(uid, None)
+        if slot is None:
+            self._q_dirty = True
+        elif not self._q_dirty:
+            self._q_present[slot] = 0
+            self._q_tombstones += 1
         if self.mapper.solver is not None:
             self.mapper.solver.remove_node(uid)
         sensor_map = self.vertices.get(scan.laser.name, {})
@@ -241,12 +262,13 @@ class PoseGraph:
         from slam_toolbox_tpu import native
 
         if native.get_lib() is not None:
-            scans, uid_to_idx, xy, indptr, indices = self._query_structure()
+            (scans, uid_to_idx, xy, present, indptr,
+             indices) = self._query_structure()
             start = uid_to_idx.get(scan.unique_id)
             if start is None:
                 return []
             order = native.bfs_within_radius(
-                xy, indptr, indices, start, center, max_distance
+                xy, present, indptr, indices, start, center, max_distance
             )
             return [scans[i] for i in order]
 
@@ -303,14 +325,17 @@ class PoseGraph:
         the scan's sensor pose."""
         self.add_edges_finish(scan, self.add_edges_begin(scan, covariance))
 
-    def add_edges_begin(self, scan, covariance):
+    def add_edges_begin(self, scan, covariance, dispatch: bool = True):
         """Phase 1 of AddEdges: the host-side links (previous scan +
         running chain, or the multi-robot first-scan links) plus an
         asynchronous dispatch of all near-chain matches. Returns pending
         state for add_edges_finish; applying finish immediately is exactly
         the reference's AddEdges order. The streaming drain runs phase 1
         for the whole batch before any finish so every in-flight match
-        shares one device completion wait."""
+        shares one device completion wait. dispatch=False defers the
+        device work entirely (packs=None): the batched drain collects all
+        (scan, chain) pairs and runs them as ONE fused pool-gather
+        program (kernels/loop_verify.dispatch_chain_matches)."""
         cfg = self.mapper.config
         sm = self.mapper.sensor_manager
         name = scan.laser.name
@@ -352,9 +377,11 @@ class PoseGraph:
             c for c in self.find_near_chains(scan)
             if len(c) >= cfg.loop_match_minimum_chain_size
         ]
-        packs = self.mapper.sequential_matcher.dispatch_scans_batch(
-            scan, chains, penalize=False, refine=True
-        )
+        packs = None
+        if dispatch:
+            packs = self.mapper.sequential_matcher.dispatch_scans_batch(
+                scan, chains, penalize=False, refine=True
+            )
         return chains, packs, means, covariances
 
     def add_edges_finish(self, scan, pending, results=None) -> None:
@@ -439,22 +466,23 @@ class PoseGraph:
             and scan.laser.name in self.vertices
         ):
             # single-sensor fast path: the whole walk runs natively over
-            # the incremental query structure (slots are present scans in
-            # state-id order, so chains are contiguous slot ranges)
-            scans, uid_to_idx, xy, indptr, indices = self._query_structure()
+            # the incremental query structure (slots in state-id order;
+            # chains are contiguous slot ranges minus tombstones)
+            (scans, uid_to_idx, xy, present, indptr,
+             indices) = self._query_structure()
             start = uid_to_idx.get(scan.unique_id)
             if start is None:
                 return []
             order = native.bfs_within_radius(
-                xy, indptr, indices, start, scan_pose,
+                xy, present, indptr, indices, start, scan_pose,
                 cfg.link_scan_maximum_distance,
             )
             rows = native.near_chains_sweep(
-                xy, order, start, scan_pose,
+                xy, present, order, start, scan_pose,
                 cfg.link_scan_maximum_distance,
             )
             return [
-                [scans[i] for i in range(lo, hi)]
+                [scans[i] for i in range(lo, hi) if present[i]]
                 for lo, hi, valid in rows if valid
             ]
 
@@ -519,12 +547,13 @@ class PoseGraph:
             # native sweep over the incremental query structure (the
             # per-sensor slot list is in state-id order); start_id is the
             # resume SLOT here — callers treat it opaquely
-            scans, uid_to_idx, xy, indptr, indices = self._query_structure()
+            (scans, uid_to_idx, xy, present, indptr,
+             indices) = self._query_structure()
             start = uid_to_idx.get(scan.unique_id)
             near = np.zeros(len(scans), np.uint8)
             if start is not None:
                 order = native.bfs_within_radius(
-                    xy, indptr, indices, start, pose,
+                    xy, present, indptr, indices, start, pose,
                     cfg.loop_search_maximum_distance,
                 )
                 near[order] = 1
@@ -535,7 +564,7 @@ class PoseGraph:
                 return [], start_id
             res = native.loop_candidate_sweep(
                 np.ascontiguousarray(xy[slots]),
-                np.ones(len(slots), np.uint8),
+                np.ascontiguousarray(present[slots]),
                 np.ascontiguousarray(near[slots]),
                 pose, cfg.loop_search_maximum_distance,
                 cfg.loop_match_minimum_chain_size, start_id,

@@ -179,6 +179,105 @@ _loop_verify_jit = jax.jit(
 )
 
 
+def _chain_match_impl(
+    pool, qidx, cidx, cvalid, poses, centers,
+    seq_args: dict, seq_sigma, seq_half_span,
+    seq_G: int, seq_hk: int, seq_acc_r: int, seq_parity: bool,
+    seq_na_c: int, seq_na_f: int,
+):
+    """All of a drain's near-chain matches in ONE program: a lax.scan
+    over (query, chain) pairs. Each step gathers the query's pack and the
+    chain's packs from the pool by slot, rasters the chain at the
+    sequential matcher's geometry with on-device FindValidPoints, and
+    runs the fused refine=True score (LinkNearChains matches unpenalized,
+    Mapper.cpp:1653). Replaces two straight-line programs + a host point
+    prep + ~34 KB uploads PER CHAIN (measured 378 ms per localization
+    drain batch)."""
+
+    def step(c, inp):
+        qi, ci, cv, ps, center = inp
+        qpack = pool[qi]
+        local = qpack[:, 0:2]
+        finite = (qpack[:, 7].astype(jnp.int32) & 1) > 0
+        packs = pool[ci]                     # (Cb, B, 8)
+        off = center[:2] - seq_half_span
+        grid, pgrid = _chain_raster(
+            packs, ps, cv, center[:2], off,
+            seq_args["scale"], seq_sigma, seq_G, seq_hk, seq_acc_r,
+            seq_parity,
+        )
+        row = _score_impl(
+            grid, pgrid, jnp.concatenate([center, off]), local, finite,
+            penalize=jnp.bool_(False),
+            grid_size=seq_G, na_coarse=seq_na_c, na_fine=seq_na_f,
+            acc_r=seq_acc_r, refine=True, **seq_args,
+        )
+        return c, row
+
+    _, rows = jax.lax.scan(
+        step, 0, (qidx, cidx, cvalid, poses, centers)
+    )
+    return rows  # (NP, 13)
+
+
+_chain_match_jit = jax.jit(
+    _chain_match_impl,
+    static_argnames=("seq_G", "seq_hk", "seq_acc_r", "seq_parity",
+                     "seq_na_c", "seq_na_f"),
+)
+
+PAIR_CHUNK = 16
+
+
+def dispatch_chain_matches(seq_matcher, pairs, pool):
+    """pairs: list of (query_scan, chain). Returns the in-flight list of
+    (NP_chunk, 13) device row arrays (concat order == pairs order), or
+    None when any involved scan has no pool slot (caller falls back to
+    the per-chain dispatch path)."""
+    if pool is None or not pairs:
+        return None
+    for q, chain in pairs:
+        if getattr(q, "_pool_slot", None) is None:
+            return None
+        for sc in chain:
+            if getattr(sc, "_pool_slot", None) is None:
+                return None
+    out = []
+    for k0 in range(0, len(pairs), PAIR_CHUNK):
+        chunk = pairs[k0:k0 + PAIR_CHUNK]
+        # two NP buckets only — every (NP, Cb) pair is its own multi-
+        # minute remote compile; padded steps cost ~3 ms each
+        NP = 2 if len(chunk) <= 2 else PAIR_CHUNK
+        Cb = max(chain_bucket(len(c)) for _, c in chunk)
+        qidx = np.zeros(NP, np.int32)
+        cidx = np.zeros((NP, Cb), np.int32)   # slot 0 = zero row
+        cvalid = np.zeros((NP, Cb), bool)
+        poses = np.zeros((NP, Cb, 3), np.float32)
+        centers = np.zeros((NP, 3), np.float32)
+        for p, (q, chain) in enumerate(chunk):
+            qidx[p] = q._pool_slot
+            centers[p] = q.sensor_pose
+            for i, sc in enumerate(chain):
+                cidx[p, i] = sc._pool_slot
+                cvalid[p, i] = True
+                poses[p, i] = sc.sensor_pose
+        out.append(_chain_match_jit(
+            pool.buf, jnp.asarray(qidx), jnp.asarray(cidx),
+            jnp.asarray(cvalid), jnp.asarray(poses),
+            jnp.asarray(centers),
+            seq_args=dict(seq_matcher._score_args),
+            seq_sigma=np.float32(seq_matcher.sigma_cells),
+            seq_half_span=np.float32(
+                0.5 * (seq_matcher.G - 1) * seq_matcher.resolution),
+            seq_G=seq_matcher.G, seq_hk=seq_matcher.half_kernel,
+            seq_acc_r=seq_matcher._acc_r,
+            seq_parity=seq_matcher.use_pallas,
+            seq_na_c=seq_matcher._na_coarse,
+            seq_na_f=seq_matcher._na_fine,
+        )[:len(chunk)])
+    return out
+
+
 def _pack_dev(scan):
     """Per-scan device-resident pack, uploaded once per scan ever (the
     pack is sensor-frame, pose-independent)."""

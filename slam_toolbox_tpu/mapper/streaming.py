@@ -332,6 +332,19 @@ class PackPool:
                 pass
         self.n += n
 
+    def add_scans(self, scans) -> None:
+        """Bulk host-pack + upload (used to seed the pool with a prior
+        graph's scans at pipeline init: ~34 KB/scan at ~1 GB/s, so even a
+        10^3-node prior costs ~35 ms once — vs re-uploading chain scans
+        on every loop-closure/near-chain event)."""
+        todo = [s for s in scans
+                if getattr(s, "_pool_slot", None) is None
+                and len(s.ranges) == self.B]
+        if not todo:
+            return
+        batch = jax.device_put(np.stack([scan_pack(s) for s in todo]))
+        self.append_batch(batch, todo)
+
     def gather(self, idx) -> jax.Array:
         """(...,) int32 slot indices -> (..., B, 8) packs (device)."""
         return jnp.take(self.buf, jnp.asarray(idx), axis=0)
@@ -381,6 +394,11 @@ class StreamingPipeline:
         self._chunk_np = []      # host packs awaiting the next chunk
         self.pack_pool = PackPool(self.B)
         mapper._pack_pool = self.pack_pool  # loop verify gathers from it
+        # seed with any pre-existing scans (deserialized prior graphs):
+        # localization's near-chain / loop-verify work references them
+        # constantly
+        if mapper.sensor_manager is not None:
+            self.pack_pool.add_scans(mapper.all_processed_scans())
 
     def warm(self) -> None:
         """Compile the batch program without touching pipeline state (a
@@ -599,23 +617,42 @@ class StreamingPipeline:
                 if matching:
                     with stage_timer(stats, "graph_edges"):
                         graph.add_vertex(scan)
-                        pf = graph.add_edges_begin(scan, cov)
+                        pf = graph.add_edges_begin(
+                            scan, cov, dispatch=False
+                        )
                     sm.add_running_scan(scan)
                 sm.set_last_scan(scan)
                 staged.append((scan, pf))
-            # phase 2: ONE stacked fetch for every scan's near-chain
-            # matches (a per-scan fetch costs a tunnel round trip each),
-            # then link + fuse
-            all_packs = []
-            for _, pf in staged:
-                if pf is not None:
-                    all_packs.extend(pf[1])
-            fetched = []
-            if all_packs:
-                from slam_toolbox_tpu.kernels.match import Matcher
+            # phase 2: the whole batch's near-chain matches run as ONE
+            # fused pool-gather program (scan over (query, chain) pairs)
+            # with a single stacked fetch; per-chain dispatch is the
+            # fallback when a scan has no pool slot
+            from slam_toolbox_tpu.kernels import loop_verify as lv
+            from slam_toolbox_tpu.kernels.match import Matcher
 
+            pairs = []
+            for scan, pf in staged:
+                if pf is not None:
+                    pairs.extend((scan, chain) for chain in pf[0])
+            fetched = []
+            if pairs:
                 with stage_timer(stats, "near_chain_match"):
-                    stacked = jnp.stack(all_packs)
+                    rows = lv.dispatch_chain_matches(
+                        self.matcher, pairs, self.pack_pool
+                    )
+                    if rows is not None:
+                        stacked = (rows[0] if len(rows) == 1
+                                   else jnp.concatenate(rows, axis=0))
+                    else:  # fallback: per-chain two-program dispatch
+                        packs = []
+                        for q, chain in pairs:
+                            packs.extend(
+                                self.matcher.dispatch_scans_batch(
+                                    q, [chain], penalize=False,
+                                    refine=True,
+                                )
+                            )
+                        stacked = jnp.stack(packs)
                     stacked.block_until_ready()
                     fetched = Matcher.results_from_packed(
                         np.asarray(stacked)
@@ -625,8 +662,8 @@ class StreamingPipeline:
                 pose_before = scan.corrected_pose.copy()
                 res_i = None
                 if pf is not None:
-                    res_i = fetched[k:k + len(pf[1])]
-                    k += len(pf[1])
+                    res_i = fetched[k:k + len(pf[0])]
+                    k += len(pf[0])
                 with stage_timer(stats, "graph_edges"):
                     graph.add_edges_finish(scan, pf, results=res_i)
                 if np.any(np.abs(scan.corrected_pose - pose_before) > 1e-7):

@@ -55,7 +55,7 @@ def get_lib():
 
     lib.bfs_within_radius.restype = i64
     lib.bfs_within_radius.argtypes = [
-        i64, ptr, ptr, ptr, i64, f64, f64, f64, ptr, ptr,
+        i64, ptr, ptr, ptr, ptr, i64, f64, f64, f64, ptr, ptr,
     ]
     lib.loop_candidate_sweep.restype = i64
     lib.loop_candidate_sweep.argtypes = [
@@ -64,7 +64,7 @@ def get_lib():
     ]
     lib.near_chains_sweep.restype = i64
     lib.near_chains_sweep.argtypes = [
-        i64, ptr, ptr, i64, i64, f64, f64, f64, ptr, ptr,
+        i64, ptr, ptr, ptr, i64, i64, f64, f64, f64, ptr, ptr,
     ]
     lib.radius_query.restype = i64
     lib.radius_query.argtypes = [i64, ptr, f64, f64, f64, ptr]
@@ -92,7 +92,8 @@ def fvp_structure(points):
     return delim_idx[:d].copy(), anchors[:d].copy(), next_delim
 
 
-def near_chains_sweep(xy, nears, scan_slot, center, max_distance):
+def near_chains_sweep(xy, present, nears, scan_slot, center,
+                      max_distance):
     """(rows (k, 3) of [lo, hi, valid]) chain slot ranges, or None."""
     lib = get_lib()
     if lib is None:
@@ -100,11 +101,13 @@ def near_chains_sweep(xy, nears, scan_slot, center, max_distance):
     n = len(xy)
     m = len(nears)
     xy_c = np.ascontiguousarray(xy, np.float64)
+    present_c = np.ascontiguousarray(present, np.uint8)
     nears_c = np.ascontiguousarray(nears, np.int64)
     processed = np.zeros(n, np.uint8)
     out = np.zeros((max(m, 1), 3), np.int64)
     cnt = lib.near_chains_sweep(
-        n, xy_c.ctypes.data, nears_c.ctypes.data, m, int(scan_slot),
+        n, xy_c.ctypes.data, present_c.ctypes.data, nears_c.ctypes.data,
+        m, int(scan_slot),
         float(center[0]), float(center[1]),
         float(max_distance) * float(max_distance) + 1e-6,
         processed.ctypes.data, out.ctypes.data,
@@ -112,9 +115,10 @@ def near_chains_sweep(xy, nears, scan_slot, center, max_distance):
     return out[:cnt].copy()
 
 
-def bfs_within_radius(xy, indptr, indices, start, center, max_distance):
-    """Returns indices (BFS order) of nodes within max_distance reachable
-    through in-radius nodes; None if the native lib is unavailable."""
+def bfs_within_radius(xy, present, indptr, indices, start, center,
+                      max_distance):
+    """Returns indices (BFS order) of present nodes within max_distance
+    reachable through in-radius present nodes; None if no native lib."""
     lib = get_lib()
     if lib is None:
         return None
@@ -122,10 +126,12 @@ def bfs_within_radius(xy, indptr, indices, start, center, max_distance):
     visited = np.zeros(n, np.uint8)
     order = np.zeros(n, np.int64)
     xy_c = np.ascontiguousarray(xy, np.float64)
+    present_c = np.ascontiguousarray(present, np.uint8)
     indptr_c = np.ascontiguousarray(indptr, np.int64)
     indices_c = np.ascontiguousarray(indices, np.int64)
     cnt = lib.bfs_within_radius(
-        n, xy_c.ctypes.data, indptr_c.ctypes.data, indices_c.ctypes.data,
+        n, xy_c.ctypes.data, present_c.ctypes.data,
+        indptr_c.ctypes.data, indices_c.ctypes.data,
         int(start), float(center[0]), float(center[1]),
         float(max_distance) * float(max_distance) - 1e-6,
         visited.ctypes.data, order.ctypes.data,

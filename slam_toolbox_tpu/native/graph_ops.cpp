@@ -27,6 +27,7 @@ extern "C" {
 int64_t bfs_within_radius(
     int64_t n,
     const double* xy,            // (n, 2) reference positions
+    const uint8_t* present,      // (n,) 0 = removed (tombstone)
     const int64_t* indptr,       // CSR row offsets (n + 1)
     const int64_t* indices,      // CSR column indices
     int64_t start,
@@ -34,7 +35,7 @@ int64_t bfs_within_radius(
     uint8_t* visited_out,        // (n,) zeroed by caller
     int64_t* order_out           // (n,) optional
 ) {
-    if (start < 0 || start >= n) return 0;
+    if (start < 0 || start >= n || !present[start]) return 0;
     std::vector<uint8_t> seen(static_cast<size_t>(n), 0);
     std::queue<int64_t> q;
     q.push(start);
@@ -51,6 +52,9 @@ int64_t bfs_within_radius(
             ++count;
             for (int64_t e = indptr[v]; e < indptr[v + 1]; ++e) {
                 const int64_t u = indices[e];
+                // stale CSR rows may still point at removed nodes; the
+                // real graph no longer has those edges
+                if (!present[u]) continue;
                 if (!seen[u]) {
                     seen[u] = 1;
                     q.push(u);
@@ -113,6 +117,8 @@ int64_t loop_candidate_sweep(
 int64_t near_chains_sweep(
     int64_t n,
     const double* xy,          // (n, 2) reference positions
+    const uint8_t* present,    // (n,) 0 = removed (walked over, like the
+                               // reference continues over missing ids)
     const int64_t* nears,      // (m,) near slots in BFS order
     int64_t m,
     int64_t scan_slot,         // slot of the query scan, or -1
@@ -129,6 +135,7 @@ int64_t near_chains_sweep(
         int64_t lo = s, hi = s + 1;
         for (int64_t i = s - 1; i >= 0; --i) {
             if (i == scan_slot) valid = false;
+            if (!present[i]) continue;
             const double dx = xy[2 * i] - cx;
             const double dy = xy[2 * i + 1] - cy;
             if (dx * dx + dy * dy < max_sq) {
@@ -140,6 +147,7 @@ int64_t near_chains_sweep(
         }
         for (int64_t i = s + 1; i < n; ++i) {
             if (i == scan_slot) valid = false;
+            if (!present[i]) continue;
             const double dx = xy[2 * i] - cx;
             const double dy = xy[2 * i + 1] - cy;
             if (dx * dx + dy * dy < max_sq) {

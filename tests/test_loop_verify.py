@@ -129,3 +129,64 @@ def test_pooled_gather_matches_upload_path():
         loop, seq, query, chains, cfg, pool=pool
     ), np.float64)
     np.testing.assert_allclose(got, ref, atol=1e-6)
+
+
+def test_chain_match_fused_matches_staged():
+    """dispatch_chain_matches (pool-gather scan over pairs) vs the
+    per-chain match_scans_batch path."""
+    from slam_toolbox_tpu.mapper.streaming import PackPool, scan_pack
+
+    laser = LaserConfig(
+        min_range=0.05, max_range=10.0, range_threshold=8.0,
+        angular_resolution=np.deg2rad(2.0),
+    )
+    world = SegmentWorld.rooms(16.0, 10.0)
+    sim = LidarSimulator(world, laser, range_noise=0.01,
+                         odom_noise=(0.0, 0.0), seed=9)
+    wp = np.array([(-6.0, -3.5), (1.5, -3.5), (5.5, -3.5), (5.5, 0.5),
+                   (5.5, 3.5), (1.0, 3.5)])
+    pairs_data = sim.simulate(wp, step=0.5)
+    scans = []
+    for scan, _true in pairs_data:
+        scan.state_id = len(scans)
+        scan.unique_id = len(scans)
+        scans.append(scan)
+
+    seq = _matcher(0.3, 0.02, laser.range_threshold)
+    pool = PackPool(laser.n_beams, cap=64)
+    batch = np.stack([scan_pack(s) for s in scans])
+    pool.append_batch(jnp.asarray(batch), scans)
+
+    pairs = [
+        (scans[-1], scans[0:6]),
+        (scans[-2], scans[3:9]),
+        (scans[-1], scans[6:12]),
+    ]
+    rows = lv.dispatch_chain_matches(seq, pairs, pool)
+    got = np.asarray(jnp.concatenate(rows, axis=0), np.float64)
+    fused = Matcher.results_from_packed(got)
+
+    for (q, chain), res in zip(pairs, fused):
+        ref = seq.match_scans_batch(q, [chain], penalize=False,
+                                    refine=True)[0]
+        # the fused path rasters from f32 device world points (the
+        # staged path rounds f64 host points): a handful of boundary
+        # cells flip, moving the response by ~1e-3 and the tie-averaged
+        # pose by a fraction of a cell
+        np.testing.assert_allclose(res.response, ref.response, atol=2e-3)
+        np.testing.assert_allclose(
+            res.sensor_pose, ref.sensor_pose, atol=2.5e-2
+        )
+        # the chain raster computes world points in f32 on device (the
+        # staged path rounds f64 host points): boundary-cell flips move
+        # single responses in/out of the `>= best - 0.1` covariance set,
+        # shifting the surface's second moments — diagonals at the 1e-2
+        # level, the near-zero off-diagonals by small absolute amounts
+        np.testing.assert_allclose(
+            np.diag(res.covariance), np.diag(ref.covariance),
+            rtol=2e-2, atol=1e-6,
+        )
+        off = ~np.eye(3, dtype=bool)
+        np.testing.assert_allclose(
+            res.covariance[off], ref.covariance[off], atol=5e-3
+        )
