@@ -173,12 +173,13 @@ def solve_pcg(diag, hab, grad, src, dst, free, lm_lambda, cg_iters: int,
 
 
 # below this node count the normal equations are solved DENSELY (one
-# Cholesky per LM step): at small n every CG iteration is latency-bound on
-# TPU (~0.4-0.6 ms even for a block-Jacobi apply — tiny-op dispatch floor),
-# while a dense (3n)^2 factorization is one fused op (~1 ms at n=1024) and
-# the exact step also cuts the LM iteration count (Ceres similarly uses
-# dense solvers for small problems)
-DENSE_MAX_NODES = 1024
+# Cholesky per LM step): every CG iteration is latency-bound on TPU
+# (~0.4-0.6 ms even for a block-Jacobi apply — tiny-op dispatch floor),
+# while a dense (3n)^2 factorization is one fused MXU op and the exact
+# step also cuts the LM iteration count. Measured on the lifelong-
+# warehouse graph at n=1494: chain-PCG ~2 s per Compute vs dense ~0.2 s
+# (Ceres similarly prefers dense solvers for small problems).
+DENSE_MAX_NODES = 2048
 
 
 @functools.partial(
