@@ -116,10 +116,12 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", "cpu")
-    # late in a tunnel session remote compiles degrade to minutes each;
-    # the budget must cover pass 1's compiles or the honest pass-2 number
-    # never runs (pass 2 itself takes ~2 s)
-    budget = float(os.environ.get("BENCH_BUDGET_S", "900"))
+    # late in a tunnel session remote compiles degrade to MINUTES each
+    # (measured ~90-120 s/program after ~11 h of server uptime; ~8-10
+    # distinct executables on this path): the budget must cover pass 1's
+    # compiles or the honest pass-2 number never runs (pass 2 itself
+    # takes ~2 s)
+    budget = float(os.environ.get("BENCH_BUDGET_S", "1500"))
     deadline = time.time() + budget
     # drain cadence (two-pass wall-clock): 168 scans/s @96, 187 @192 with
     # ATE 0.018 m (loop closures still fire every batch; larger batches
