@@ -113,3 +113,68 @@ def test_near_chains_native_matches_python(loop_run):
         got_ids = [[s.unique_id for s in c] for c in got]
         ref_ids = [[s.unique_id for s in c] for c in ref]
         assert got_ids == ref_ids
+
+
+def test_query_structure_tombstones_and_compaction(loop_run):
+    """Node removals tombstone the query structure (O(1)); queries must
+    stay equivalent to the pure-Python paths through tombstones AND
+    through the lazy compaction that follows bulk removals."""
+    import copy
+
+    from slam_toolbox_tpu import native
+
+    if native.get_lib() is None:
+        pytest.skip("no native toolchain")
+    sess = loop_run[0]
+    mapper = copy.deepcopy(sess.mapper)
+    graph = mapper.graph
+    scans = mapper.all_processed_scans()
+    assert len(scans) > 20
+
+    def python_near_linked(query, dist):
+        lib = native._lib
+        native._lib = None
+        orig = native._build
+        native._build = lambda: False
+        try:
+            return [s.unique_id for s in graph.find_near_linked_scans(
+                query, dist)]
+        finally:
+            native._lib = lib
+            native._build = orig
+
+    # remove 40% of nodes (every other one in the middle) — crosses the
+    # compaction threshold partway through
+    removed = 0
+    for s in scans[3:-3]:
+        if s.state_id % 2 == 0:
+            mapper.remove_node_from_graph(s)
+            removed += 1
+    assert removed > len(scans) // 4
+    query = scans[-1]
+    got = [s.unique_id for s in graph.find_near_linked_scans(query, 2.5)]
+    ref = python_near_linked(query, 2.5)
+    assert got == ref
+    # removed nodes must never appear
+    removed_ids = {s.unique_id for s in scans[3:-3] if s.state_id % 2 == 0}
+    assert not (set(got) & removed_ids)
+    # force the lazy compaction (the removal count may sit under the
+    # max(64, n/4) trigger in this scenario) and re-check equivalence
+    graph._q_tombstones = 10 ** 6
+    got2 = [s.unique_id for s in graph.find_near_linked_scans(query, 2.5)]
+    assert got2 == ref
+    assert graph._q_tombstones == 0  # compaction ran
+
+    # chains also agree after removals
+    got_c = [[s.unique_id for s in c] for c in graph.find_near_chains(query)]
+    lib = native._lib
+    native._lib = None
+    orig = native._build
+    native._build = lambda: False
+    try:
+        ref_c = [[s.unique_id for s in c]
+                 for c in graph.find_near_chains(query)]
+    finally:
+        native._lib = lib
+        native._build = orig
+    assert got_c == ref_c
