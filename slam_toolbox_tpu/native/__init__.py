@@ -70,8 +70,39 @@ def get_lib():
     lib.radius_query.argtypes = [i64, ptr, f64, f64, f64, ptr]
     lib.fvp_structure.restype = i64
     lib.fvp_structure.argtypes = [i64, ptr, ptr, ptr, ptr]
+    lib.sparse_block_solve.restype = i64
+    lib.sparse_block_solve.argtypes = [
+        i64, i64, ptr, ptr, ptr, ptr, ptr, ptr,
+    ]
     _lib = lib
     return lib
+
+
+def sparse_block_solve(src, dst, diag, off, b):
+    """Solve the SE(2) block normal equations H x = b with a host
+    simplicial sparse Cholesky (min-degree ordering, 3x3 blocks) — the
+    Ceres SPARSE_NORMAL_CHOLESKY analog for graphs past the dense-TPU
+    ceiling. diag (n,3,3) must already be damped and gauge-fixed (unit
+    diagonal on fixed nodes, no edges touching them). Returns x (n,3) or
+    None if the lib is unavailable / the matrix is not SPD."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(diag)
+    e = len(src)
+    src_c = np.ascontiguousarray(src, np.int64)
+    dst_c = np.ascontiguousarray(dst, np.int64)
+    diag_c = np.ascontiguousarray(diag, np.float64)
+    off_c = np.ascontiguousarray(off, np.float64)
+    b_c = np.ascontiguousarray(b, np.float64)
+    x = np.zeros((n, 3), np.float64)
+    nnz = lib.sparse_block_solve(
+        n, e, src_c.ctypes.data, dst_c.ctypes.data, diag_c.ctypes.data,
+        off_c.ctypes.data, b_c.ctypes.data, x.ctypes.data,
+    )
+    if nnz < 0:
+        return None
+    return x
 
 
 def fvp_structure(points):

@@ -11,7 +11,10 @@
 // Build: g++ -O3 -shared -fPIC graph_ops.cpp -o libgraph_ops.so
 // Bound via ctypes (no pybind11 in this image).
 
+#include <algorithm>
+#include <cmath>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <queue>
 #include <vector>
@@ -226,6 +229,330 @@ int64_t fvp_structure(
         }
     }
     return d;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Block-sparse SE(2) normal-equation solver.
+//
+// The reference solves its pose-graph normal equations with Ceres'
+// SPARSE_NORMAL_CHOLESKY (recommended config, README.md:164;
+// ceres_solver.cpp:25-193). On TPU a dense MXU Cholesky wins up to ~2k
+// nodes (solver/se2_solver.py DENSE_MAX_NODES), but beyond that dense is
+// O(n^3)/O(n^2) memory and iterative CG is latency-bound on loopy graphs.
+// This is the large-graph path: a simplicial sparse Cholesky over 3x3
+// SE(2) blocks with a minimum-degree fill-reducing ordering, run on the
+// host (the analog of Ceres' CPU sparse backend — SURVEY.md section 7.3
+// sanctions "sparse-Cholesky-on-host" for exactly this regime).
+//
+// Matrix model: H is n x n of 3x3 blocks, SPD after gauge fixing (the
+// caller zeroes fixed rows/cols and puts 1 on their scalar diagonal).
+// Inputs are the block diagonal (n,3,3) and per-edge off-diagonal blocks
+// (e,3,3) with H[dst,src] = block^T implied.
+
+namespace {
+
+// 3x3 dense helpers, row-major double[9].
+inline bool chol3(const double* a, double* l) {
+    // l lower-triangular with a = l l^T; false if not SPD
+    double l00s = a[0];
+    if (l00s <= 0.0) return false;
+    double l00 = std::sqrt(l00s);
+    double l10 = a[3] / l00;
+    double l20 = a[6] / l00;
+    double d1 = a[4] - l10 * l10;
+    if (d1 <= 0.0) return false;
+    double l11 = std::sqrt(d1);
+    double l21 = (a[7] - l20 * l10) / l11;
+    double d2 = a[8] - l20 * l20 - l21 * l21;
+    if (d2 <= 0.0) return false;
+    double l22 = std::sqrt(d2);
+    l[0] = l00; l[1] = 0.0; l[2] = 0.0;
+    l[3] = l10; l[4] = l11; l[5] = 0.0;
+    l[6] = l20; l[7] = l21; l[8] = l22;
+    return true;
+}
+
+// out = x * inv(l)^T  (solve out * l^T = x), l lower-triangular; per row
+// forward substitution on l * out_row^T = x_row^T.
+inline void solve_right_lt(const double* l, const double* x, double* out) {
+    for (int r = 0; r < 3; ++r) {
+        const double* xr = x + 3 * r;
+        double* or_ = out + 3 * r;
+        or_[0] = xr[0] / l[0];
+        or_[1] = (xr[1] - l[3] * or_[0]) / l[4];
+        or_[2] = (xr[2] - l[6] * or_[0] - l[7] * or_[1]) / l[8];
+    }
+}
+
+// v := inv(l) v (forward substitution, 3-vector)
+inline void fsub3(const double* l, double* v) {
+    v[0] = v[0] / l[0];
+    v[1] = (v[1] - l[3] * v[0]) / l[4];
+    v[2] = (v[2] - l[6] * v[0] - l[7] * v[1]) / l[8];
+}
+
+// v := inv(l)^T v (back substitution with the transpose)
+inline void bsub3(const double* l, double* v) {
+    v[2] = v[2] / l[8];
+    v[1] = (v[1] - l[7] * v[2]) / l[4];
+    v[0] = (v[0] - l[3] * v[1] - l[6] * v[2]) / l[0];
+}
+
+// c -= a * b^T
+inline void gemm_nt_sub(const double* a, const double* b, double* c) {
+    for (int i = 0; i < 3; ++i)
+        for (int j = 0; j < 3; ++j) {
+            c[3 * i + j] -= a[3 * i] * b[3 * j] +
+                            a[3 * i + 1] * b[3 * j + 1] +
+                            a[3 * i + 2] * b[3 * j + 2];
+        }
+}
+
+// v -= a * w  (3x3 times 3-vector)
+inline void gemv_sub(const double* a, const double* w, double* v) {
+    for (int i = 0; i < 3; ++i)
+        v[i] -= a[3 * i] * w[0] + a[3 * i + 1] * w[1] + a[3 * i + 2] * w[2];
+}
+
+// v -= a^T * w
+inline void gemv_t_sub(const double* a, const double* w, double* v) {
+    for (int i = 0; i < 3; ++i)
+        v[i] -= a[i] * w[0] + a[3 + i] * w[1] + a[6 + i] * w[2];
+}
+
+// Minimum-degree ordering on the node graph (plain MD with explicit
+// clique formation — pose graphs have degree ~3-6 so the quotient-graph
+// machinery of AMD is not needed at these sizes). perm[new] = old.
+void min_degree_order(
+    int64_t n, const std::vector<std::vector<int64_t>>& adj_in,
+    std::vector<int64_t>& perm) {
+    std::vector<std::vector<int64_t>> adj(adj_in);  // sorted unique rows
+    std::vector<char> eliminated(static_cast<size_t>(n), 0);
+    // lazy min-heap of (degree, node); stale entries skipped on pop
+    typedef std::pair<int64_t, int64_t> DN;
+    std::priority_queue<DN, std::vector<DN>, std::greater<DN>> heap;
+    for (int64_t i = 0; i < n; ++i)
+        heap.push({static_cast<int64_t>(adj[i].size()), i});
+    perm.clear();
+    perm.reserve(static_cast<size_t>(n));
+    std::vector<int64_t> merged;
+    while (!heap.empty()) {
+        DN top = heap.top();
+        heap.pop();
+        int64_t v = top.second;
+        if (eliminated[v]) continue;
+        if (top.first != static_cast<int64_t>(adj[v].size())) {
+            heap.push({static_cast<int64_t>(adj[v].size()), v});
+            continue;  // stale degree
+        }
+        eliminated[v] = 1;
+        perm.push_back(v);
+        // form the clique among v's active neighbors
+        std::vector<int64_t>& nb = adj[v];
+        for (size_t a = 0; a < nb.size(); ++a) {
+            int64_t u = nb[a];
+            if (eliminated[u]) continue;
+            // new adj[u] = (adj[u] ∪ nb) \ {u, v, eliminated}
+            merged.clear();
+            merged.reserve(adj[u].size() + nb.size());
+            std::merge(adj[u].begin(), adj[u].end(), nb.begin(), nb.end(),
+                       std::back_inserter(merged));
+            std::vector<int64_t>& au = adj[u];
+            au.clear();
+            int64_t prev = -1;
+            for (int64_t w : merged) {
+                if (w == prev || w == u || eliminated[w]) continue;
+                au.push_back(w);
+                prev = w;
+            }
+            heap.push({static_cast<int64_t>(au.size()), u});
+        }
+        nb.clear();
+        nb.shrink_to_fit();
+    }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Factor-and-solve (H x = b) for the SE(2) block normal equations.
+// Ordering + symbolic + numeric in one call: with SLAM fill-in the
+// numeric phase is microseconds-to-milliseconds, so amortizing the
+// symbolic across LM iterations is not worth a stateful API yet.
+// Returns nnz(L) in blocks on success, -1 if a diagonal pivot fails
+// (caller falls back to the iterative path).
+int64_t sparse_block_solve(
+    int64_t n, int64_t e,
+    const int64_t* src, const int64_t* dst,  // (e,) node indices
+    const double* diag,   // (n, 9) damped gauge-fixed diagonal blocks
+    const double* off,    // (e, 9) H[src[k], dst[k]] blocks
+    const double* b,      // (n, 3)
+    double* x             // (n, 3) out
+) {
+    // -- adjacency (unique, no self loops) --------------------------------
+    std::vector<std::vector<int64_t>> adj(static_cast<size_t>(n));
+    for (int64_t k = 0; k < e; ++k) {
+        int64_t s = src[k], d = dst[k];
+        if (s == d || s < 0 || d < 0 || s >= n || d >= n) continue;
+        adj[s].push_back(d);
+        adj[d].push_back(s);
+    }
+    for (int64_t i = 0; i < n; ++i) {
+        std::sort(adj[i].begin(), adj[i].end());
+        adj[i].erase(std::unique(adj[i].begin(), adj[i].end()),
+                     adj[i].end());
+    }
+
+    std::vector<int64_t> perm;  // perm[new] = old
+    min_degree_order(n, adj, perm);
+    std::vector<int64_t> iperm(static_cast<size_t>(n));
+    for (int64_t i = 0; i < n; ++i) iperm[perm[i]] = i;
+
+    // -- permuted strict-lower pattern of A, by ROW (CSR-ish) -------------
+    // row r (new index) lists columns c < r; block value pointers resolved
+    // from the edge list (sum duplicates).
+    std::vector<std::vector<std::pair<int64_t, int64_t>>> rowpat(
+        static_cast<size_t>(n));  // (col, edge_k); edge_k<0 => transpose
+    for (int64_t k = 0; k < e; ++k) {
+        int64_t s = src[k], d = dst[k];
+        if (s == d || s < 0 || d < 0 || s >= n || d >= n) continue;
+        int64_t ps = iperm[s], pd = iperm[d];
+        // block H[s,d] = off[k] (tag +), H[d,s] = off[k]^T (tag -);
+        // store the strict-lower entry of the permuted matrix
+        if (ps > pd) rowpat[ps].push_back({pd, k + 1});
+        else rowpat[pd].push_back({ps, -(k + 1)});
+    }
+    for (int64_t i = 0; i < n; ++i)
+        std::sort(rowpat[i].begin(), rowpat[i].end());
+
+    // -- elimination tree (liu's algorithm with path compression) ---------
+    std::vector<int64_t> parent(static_cast<size_t>(n), -1);
+    std::vector<int64_t> ancestor(static_cast<size_t>(n), -1);
+    for (int64_t k2 = 0; k2 < n; ++k2) {
+        for (const auto& pc : rowpat[k2]) {
+            int64_t i = pc.first;
+            while (i != -1 && i < k2) {
+                int64_t next = ancestor[i];
+                ancestor[i] = k2;
+                if (next == -1) { parent[i] = k2; break; }
+                i = next;
+            }
+        }
+    }
+
+    // -- symbolic: column counts via ereach -------------------------------
+    std::vector<int64_t> mark(static_cast<size_t>(n), -1);
+    std::vector<int64_t> colcount(static_cast<size_t>(n), 0);
+    std::vector<int64_t> estack(static_cast<size_t>(n));
+    for (int64_t k2 = 0; k2 < n; ++k2) {
+        mark[k2] = k2;
+        for (const auto& pc : rowpat[k2]) {
+            int64_t i = pc.first;
+            while (mark[i] != k2) {
+                mark[i] = k2;
+                ++colcount[i];
+                i = parent[i];
+                if (i == -1 || i >= k2) break;
+            }
+        }
+    }
+    int64_t nnz = 0;
+    std::vector<int64_t> Lp(static_cast<size_t>(n) + 1, 0);
+    for (int64_t i = 0; i < n; ++i) {
+        Lp[i + 1] = Lp[i] + colcount[i];
+    }
+    nnz = Lp[n];
+    std::vector<int64_t> Li(static_cast<size_t>(nnz));
+    std::vector<double> Lx(static_cast<size_t>(nnz) * 9);
+    std::vector<double> Ld(static_cast<size_t>(n) * 9);  // diag factors
+    std::vector<int64_t> Lnext(static_cast<size_t>(n), 0);  // fill cursor
+    for (int64_t i = 0; i < n; ++i) Lnext[i] = Lp[i];
+
+    // -- numeric: up-looking block rows ------------------------------------
+    std::vector<double> xwork(static_cast<size_t>(n) * 9, 0.0);
+    std::vector<double> dwork(9);
+    std::vector<double> lkj(9);
+    std::fill(mark.begin(), mark.end(), -1);
+    for (int64_t k2 = 0; k2 < n; ++k2) {
+        // scatter A row k2 (strict lower) into xwork; collect ereach
+        int64_t top = n;
+        mark[k2] = k2;
+        for (const auto& pc : rowpat[k2]) {
+            int64_t c = pc.first;
+            int64_t tag = pc.second;
+            const double* blk = off + 9 * (std::llabs(tag) - 1);
+            double* xc = xwork.data() + 9 * c;
+            if (tag > 0) {
+                for (int t = 0; t < 9; ++t) xc[t] += blk[t];
+            } else {
+                for (int r = 0; r < 3; ++r)
+                    for (int cc = 0; cc < 3; ++cc)
+                        xc[3 * r + cc] += blk[3 * cc + r];
+            }
+            // walk up the etree to collect the row pattern
+            int64_t i = c, len = 0;
+            while (mark[i] != k2) {
+                mark[i] = k2;
+                estack[len++] = i;
+                i = parent[i];
+                if (i == -1 || i >= k2) break;
+            }
+            while (len > 0) estack[--top] = estack[--len];
+        }
+        // diagonal accumulator
+        const double* dk = diag + 9 * perm[k2];
+        for (int t = 0; t < 9; ++t) dwork[t] = dk[t];
+        // process pattern ascending (estack[top..n-1] holds disjoint
+        // ascending path segments; sort to get global ascending order)
+        std::sort(estack.begin() + top, estack.end());
+        for (int64_t si = top; si < n; ++si) {
+            int64_t j = estack[si];
+            double* xj = xwork.data() + 9 * j;
+            solve_right_lt(Ld.data() + 9 * j, xj, lkj.data());
+            for (int t = 0; t < 9; ++t) xj[t] = 0.0;
+            // update x with column j of L (rows r: j < r < k2)
+            for (int64_t p = Lp[j]; p < Lnext[j]; ++p) {
+                gemm_nt_sub(lkj.data(), Lx.data() + 9 * p,
+                            xwork.data() + 9 * Li[p]);
+            }
+            gemm_nt_sub(lkj.data(), lkj.data(), dwork.data());
+            // append L[k2, j]
+            int64_t p = Lnext[j]++;
+            Li[p] = k2;
+            std::memcpy(Lx.data() + 9 * p, lkj.data(), 9 * sizeof(double));
+        }
+        if (!chol3(dwork.data(), Ld.data() + 9 * k2)) return -1;
+    }
+
+    // -- triangular solves --------------------------------------------------
+    // y = inv(L) P b ; x = P^T inv(L)^T y
+    std::vector<double> y(static_cast<size_t>(n) * 3);
+    for (int64_t i = 0; i < n; ++i) {
+        const double* bi = b + 3 * perm[i];
+        y[3 * i] = bi[0]; y[3 * i + 1] = bi[1]; y[3 * i + 2] = bi[2];
+    }
+    for (int64_t j = 0; j < n; ++j) {
+        double* yj = y.data() + 3 * j;
+        fsub3(Ld.data() + 9 * j, yj);
+        for (int64_t p = Lp[j]; p < Lnext[j]; ++p) {
+            gemv_sub(Lx.data() + 9 * p, yj, y.data() + 3 * Li[p]);
+        }
+    }
+    for (int64_t j = n - 1; j >= 0; --j) {
+        double* yj = y.data() + 3 * j;
+        for (int64_t p = Lp[j]; p < Lnext[j]; ++p) {
+            gemv_t_sub(Lx.data() + 9 * p, y.data() + 3 * Li[p], yj);
+        }
+        bsub3(Ld.data() + 9 * j, yj);
+    }
+    for (int64_t i = 0; i < n; ++i) {
+        double* xi = x + 3 * perm[i];
+        xi[0] = y[3 * i]; xi[1] = y[3 * i + 1]; xi[2] = y[3 * i + 2];
+    }
+    return nnz;
 }
 
 }  // extern "C"

@@ -172,6 +172,133 @@ def solve_pcg(diag, hab, grad, src, dst, free, lm_lambda, cg_iters: int,
     return x
 
 
+# ---------------------------------------------------------------------------
+# Host sparse path (graphs past the dense-TPU ceiling).
+#
+# NumPy normal-equation assembly + the native block-sparse Cholesky
+# (native/graph_ops.cpp sparse_block_solve — min-degree ordering, 3x3
+# block up-looking factorization). This is the Ceres
+# SPARSE_NORMAL_CHOLESKY analog (README.md:164 recommended config): at
+# n > ~2k the dense MXU factorization is O(n^3) and the latency-bound
+# chain-PCG needs O(n) iterations on loopy graphs, while the sparse
+# factor of a SLAM graph stays near-linear (measured ~0.1 s at n=16k,
+# ~0.5 s at n=65k including ordering). Entirely host-side: zero tunnel
+# round-trips per LM iteration.
+
+
+def _np_normal_blocks(poses, src, dst, rel, sqrt_info):
+    """f64 NumPy twin of build_normal_blocks (unpadded)."""
+    pa, pb = poses[src], poses[dst]
+    ca, sa = np.cos(pa[:, 2]), np.sin(pa[:, 2])
+    dx = pb[:, 0] - pa[:, 0]
+    dy = pb[:, 1] - pa[:, 1]
+    rx = ca * dx + sa * dy - rel[:, 0]
+    ry = -sa * dx + ca * dy - rel[:, 1]
+    dth = pb[:, 2] - pa[:, 2] - rel[:, 2]
+    rth = np.arctan2(np.sin(dth), np.cos(dth))
+    r = np.einsum("eij,ej->ei", sqrt_info, np.stack([rx, ry, rth], -1))
+    z = np.zeros_like(ca)
+    o = np.ones_like(ca)
+    ja = np.stack(
+        [
+            np.stack([-ca, -sa, -sa * dx + ca * dy], -1),
+            np.stack([sa, -ca, -ca * dx - sa * dy], -1),
+            np.stack([z, z, -o], -1),
+        ],
+        axis=-2,
+    )
+    jb = np.stack(
+        [
+            np.stack([ca, sa, z], -1),
+            np.stack([-sa, ca, z], -1),
+            np.stack([z, z, o], -1),
+        ],
+        axis=-2,
+    )
+    ja = np.einsum("eij,ejk->eik", sqrt_info, ja)
+    jb = np.einsum("eij,ejk->eik", sqrt_info, jb)
+    n = len(poses)
+    diag = np.zeros((n, 3, 3))
+    np.add.at(diag, src, np.einsum("eji,ejk->eik", ja, ja))
+    np.add.at(diag, dst, np.einsum("eji,ejk->eik", jb, jb))
+    hab = np.einsum("eji,ejk->eik", ja, jb)
+    grad = np.zeros((n, 3))
+    np.add.at(grad, src, -np.einsum("eji,ej->ei", ja, r))
+    np.add.at(grad, dst, -np.einsum("eji,ej->ei", jb, r))
+    return diag, hab, grad, float(np.sum(r * r))
+
+
+def _np_chi2(poses, src, dst, rel, sqrt_info):
+    pa, pb = poses[src], poses[dst]
+    ca, sa = np.cos(pa[:, 2]), np.sin(pa[:, 2])
+    dx = pb[:, 0] - pa[:, 0]
+    dy = pb[:, 1] - pa[:, 1]
+    rx = ca * dx + sa * dy - rel[:, 0]
+    ry = -sa * dx + ca * dy - rel[:, 1]
+    dth = pb[:, 2] - pa[:, 2] - rel[:, 2]
+    rth = np.arctan2(np.sin(dth), np.cos(dth))
+    r = np.einsum("eij,ej->ei", sqrt_info, np.stack([rx, ry, rth], -1))
+    return float(np.sum(r * r))
+
+
+def host_sparse_lm(poses, src, dst, rel, sqrt_info, free, cfg):
+    """Levenberg-Marquardt on the host with the native sparse Cholesky.
+    Same acceptance/termination logic as lm_solve. Returns (poses, chi2,
+    iters) or None if the native lib is unavailable."""
+    from slam_toolbox_tpu import native
+
+    if native.get_lib() is None:
+        return None
+    free_b = free.astype(bool)
+    # edges fully interior to the free set keep their off-diagonal block;
+    # edges touching the gauge node only contribute to diag/grad, which
+    # the row/col projection zeroes on the fixed side
+    keep = free_b[src] & free_b[dst]
+    lam = cfg.initial_lm_lambda
+    chi2 = _np_chi2(poses, src, dst, rel, sqrt_info)
+    iters = 0
+    eye = np.eye(3)
+    for _ in range(cfg.max_iterations):
+        diag, hab, grad, _ = _np_normal_blocks(
+            poses, src, dst, rel, sqrt_info
+        )
+        grad[~free_b] = 0.0
+        gnorm = np.max(np.abs(grad)) if len(grad) else 0.0
+        if gnorm < cfg.gradient_tolerance:
+            break
+        damp = lam * np.einsum("nii->n", diag)[:, None, None] * eye / 3.0
+        diag_d = diag + damp + 1e-8 * eye
+        diag_d[~free_b] = eye
+        x = native.sparse_block_solve(
+            src[keep], dst[keep], diag_d, hab[keep], grad
+        )
+        if x is None:
+            return None
+        step = x * free_b[:, None]
+        new_poses = poses + step
+        new_poses[:, 2] = np.arctan2(
+            np.sin(new_poses[:, 2]), np.cos(new_poses[:, 2])
+        )
+        new_chi2 = _np_chi2(new_poses, src, dst, rel, sqrt_info)
+        iters += 1
+        accept = new_chi2 <= chi2
+        if accept:
+            rel_dec = (chi2 - new_chi2) / max(chi2, 1e-30)
+            step_norm = float(np.max(np.abs(step)))
+            poses, chi2 = new_poses, new_chi2
+            lam = max(lam * 0.3, 1e-9)
+            if (
+                rel_dec < cfg.function_tolerance
+                or step_norm < cfg.parameter_tolerance * 1e-2
+            ):
+                break
+        else:
+            lam = min(lam * 10.0, 1e6)
+            if lam >= 1e6:
+                break
+    return poses, chi2, iters
+
+
 # below this node count the normal equations are solved DENSELY (one
 # Cholesky per LM step): every CG iteration is latency-bound on TPU
 # (~0.4-0.6 ms even for a block-Jacobi apply — tiny-op dispatch floor),
@@ -450,6 +577,14 @@ class PoseGraphSolver:
 
         import time as _time
 
+        # past the dense-TPU ceiling: host sparse Cholesky (see
+        # host_sparse_lm) — falls through to the device chain-PCG path
+        # only if the native lib is unavailable
+        if n > DENSE_MAX_NODES:
+            res = self._compute_host_sparse(n, e)
+            if res is not None:
+                return res
+
         t_assemble = _time.perf_counter()
         cfg = self.config
         # generous pow2 floors: one executable covers the whole session
@@ -512,6 +647,41 @@ class PoseGraphSolver:
         ]
         for i in range(n):
             self._poses[i] = result[i].copy()
+        return self.corrections
+
+    def _compute_host_sparse(self, n: int, e: int):
+        """Unpadded f64 host LM with the native block-sparse Cholesky."""
+        import time as _time
+
+        t0 = _time.perf_counter()
+        poses = np.stack(self._poses)
+        src = np.zeros(e, np.int64)
+        dst = np.zeros(e, np.int64)
+        rel = np.zeros((e, 3))
+        sqrt_info = np.zeros((e, 3, 3))
+        for k, ((i1, i2), (rp, si)) in enumerate(self._edges.items()):
+            src[k] = self._id_to_idx[i1]
+            dst[k] = self._id_to_idx[i2]
+            rel[k] = rp
+            sqrt_info[k] = si
+        free = np.ones(n, np.float64)
+        if self._first_id in self._id_to_idx:
+            free[self._id_to_idx[self._first_id]] = 0.0
+        res = host_sparse_lm(
+            poses, src, dst, rel, sqrt_info, free, self.config
+        )
+        if res is None:
+            return None
+        poses_out, chi2, iters = res
+        self.last_stats = {
+            "n": n, "e": e, "lm_iters": iters, "chi2": chi2,
+            "host_sparse_ms": round(1e3 * (_time.perf_counter() - t0), 2),
+        }
+        self.corrections = [
+            (nid, poses_out[i].copy()) for i, nid in enumerate(self._ids)
+        ]
+        for i in range(n):
+            self._poses[i] = poses_out[i].copy()
         return self.corrections
 
     def _compute_distributed(self, n: int, e: int):

@@ -131,3 +131,70 @@ def test_incremental_add_remove():
 def test_empty_graph_noop():
     s = PoseGraphSolver()
     assert s.compute() == []
+
+
+# -- host sparse-Cholesky path (n > DENSE_MAX_NODES) -------------------------
+
+
+def test_host_sparse_matches_device_path():
+    """The host sparse LM must land on the same optimum as the device
+    (dense-Cholesky) LM for a graph both can solve."""
+    from slam_toolbox_tpu.solver import se2_solver
+
+    gt, init, edges = build_loop_graph(n=60, drift=0.04, seed=7)
+    dev, _ = run_solver(init, edges)
+
+    src = np.array([e[0] for e in edges], np.int64)
+    dst = np.array([e[1] for e in edges], np.int64)
+    rel = np.stack([e[2] for e in edges])
+    sqrt_info = np.stack(
+        [np.linalg.cholesky(np.linalg.inv(e[3])).T for e in edges]
+    )
+    free = np.ones(len(init))
+    free[0] = 0.0
+    res = se2_solver.host_sparse_lm(
+        init.copy(), src, dst, rel, sqrt_info, free,
+        se2_solver.PoseGraphSolver().config,
+    )
+    if res is None:
+        pytest.skip("native lib unavailable")
+    host, _, _ = res
+    np.testing.assert_allclose(host[:, :2], dev[:, :2], atol=5e-3)
+    np.testing.assert_allclose(_wrap(host[:, 2] - dev[:, 2]), 0, atol=5e-3)
+
+
+def test_large_graph_takes_host_sparse_path():
+    """A graph past DENSE_MAX_NODES solves through the native sparse
+    Cholesky and converges (noise-free measurements -> exact recovery)."""
+    from slam_toolbox_tpu.native import get_lib
+    from slam_toolbox_tpu.solver import se2_solver
+
+    if get_lib() is None:
+        pytest.skip("native lib unavailable")
+    n = se2_solver.DENSE_MAX_NODES + 256
+    rng = np.random.default_rng(11)
+    th = 2 * np.pi * np.arange(n) / n
+    gt = np.stack(
+        [40.0 * np.cos(th), 40.0 * np.sin(th), _wrap(th + np.pi / 2)], -1
+    )
+    drift = np.cumsum(
+        rng.normal(scale=[0.03, 0.03, 0.005], size=(n, 3)), axis=0
+    )
+    drift -= drift[0]
+    s = PoseGraphSolver()
+    cov = np.diag([1e-2, 1e-2, 3e-3])
+    for i in range(n):
+        s.add_node(i, gt[i] + drift[i])
+    for i in range(n - 1):
+        s.add_constraint(i, i + 1, relative(gt[i], gt[i + 1]), cov)
+    for i in range(0, n, 41):  # loop closures across the circle
+        j = (i + n // 2) % n
+        a, b = min(i, j), max(i, j)
+        if b - a > 2:
+            s.add_constraint(a, b, relative(gt[a], gt[b]), cov)
+    s.add_constraint(n - 1, 0, relative(gt[n - 1], gt[0]), cov)
+    corr = dict(s.compute())
+    assert "host_sparse_ms" in s.last_stats
+    out = np.stack([corr[i] for i in range(n)])
+    ate = np.sqrt(np.mean(np.sum((out[:, :2] - gt[:, :2]) ** 2, axis=1)))
+    assert ate < 1e-3
