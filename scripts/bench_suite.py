@@ -290,6 +290,8 @@ def cmd_config4(args) -> int:
     loc = SlamSession(_cfg(minimum_travel_distance=0.2), laser,
                       mode="localization", streaming=True,
                       drain_every=min(args.drain, 4))
+    if os.environ.get("BENCH_STATS") == "1":
+        loc.stats.enabled = True
     loc.deserialize(snap, MatchType.LOCALIZE_AT_POSE,
                     initial_pose=data2[0][1])
     t0 = time.time()
@@ -318,6 +320,9 @@ def cmd_config4(args) -> int:
     # localizer tracks the map it was given, not ground truth; the bound
     # guards against divergence, not map error
     assert rmse is None or rmse < 0.35, f"localization drift: {rmse}"
+    if os.environ.get("BENCH_STATS") == "1":
+        for k, v in loc.stats.summary().items():
+            print(f"# stage {k}: {v}", file=sys.stderr)
     _emit("localization_scans_per_sec", sps, "scans/s", 50.0)
     return 0
 

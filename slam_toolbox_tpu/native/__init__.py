@@ -74,8 +74,58 @@ def get_lib():
     lib.sparse_block_solve.argtypes = [
         i64, i64, ptr, ptr, ptr, ptr, ptr, ptr,
     ]
+    lib.sparse_chol_analyze.restype = ptr
+    lib.sparse_chol_analyze.argtypes = [i64, i64, ptr, ptr]
+    lib.sparse_chol_factor_solve.restype = i64
+    lib.sparse_chol_factor_solve.argtypes = [ptr, ptr, ptr, ptr, ptr]
+    lib.sparse_chol_free.restype = None
+    lib.sparse_chol_free.argtypes = [ptr]
     _lib = lib
     return lib
+
+
+class SparseCholesky:
+    """Reusable symbolic analysis of the block normal equations: analyze
+    once per Compute(), factor+solve per LM iteration (only the damped
+    values change). Wraps the native CholSymbolic handle."""
+
+    def __init__(self, n, src, dst):
+        lib = get_lib()
+        if lib is None:
+            raise RuntimeError("native lib unavailable")
+        self._lib = lib
+        self.n = int(n)
+        self._src = np.ascontiguousarray(src, np.int64)
+        self._dst = np.ascontiguousarray(dst, np.int64)
+        self._h = lib.sparse_chol_analyze(
+            self.n, len(self._src),
+            self._src.ctypes.data, self._dst.ctypes.data,
+        )
+
+    def factor_solve(self, diag, off, b):
+        """Returns x (n,3) or None on pivot failure (not SPD)."""
+        diag_c = np.ascontiguousarray(diag, np.float64)
+        off_c = np.ascontiguousarray(off, np.float64)
+        b_c = np.ascontiguousarray(b, np.float64)
+        x = np.zeros((self.n, 3), np.float64)
+        nnz = self._lib.sparse_chol_factor_solve(
+            self._h, diag_c.ctypes.data, off_c.ctypes.data,
+            b_c.ctypes.data, x.ctypes.data,
+        )
+        if nnz < 0:
+            return None
+        return x
+
+    def close(self):
+        if self._h:
+            self._lib.sparse_chol_free(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
 
 
 def sparse_block_solve(src, dst, diag, off, b):

@@ -376,22 +376,25 @@ void min_degree_order(
 
 }  // namespace
 
-extern "C" {
+namespace {
 
-// Factor-and-solve (H x = b) for the SE(2) block normal equations.
-// Ordering + symbolic + numeric in one call: with SLAM fill-in the
-// numeric phase is microseconds-to-milliseconds, so amortizing the
-// symbolic across LM iterations is not worth a stateful API yet.
-// Returns nnz(L) in blocks on success, -1 if a diagonal pivot fails
-// (caller falls back to the iterative path).
-int64_t sparse_block_solve(
-    int64_t n, int64_t e,
-    const int64_t* src, const int64_t* dst,  // (e,) node indices
-    const double* diag,   // (n, 9) damped gauge-fixed diagonal blocks
-    const double* off,    // (e, 9) H[src[k], dst[k]] blocks
-    const double* b,      // (n, 3)
-    double* x             // (n, 3) out
-) {
+// Symbolic analysis, reusable across LM iterations (the pattern is fixed
+// within one Compute(); only the damped values change).
+struct CholSymbolic {
+    int64_t n = 0;
+    std::vector<int64_t> perm;    // perm[new] = old
+    std::vector<int64_t> parent;  // etree
+    // permuted strict-lower pattern of A by row: (col, edge tag);
+    // tag = +(k+1) stores off[k], -(k+1) stores off[k]^T
+    std::vector<std::vector<std::pair<int64_t, int64_t>>> rowpat;
+    std::vector<int64_t> Lp;      // block column pointers (n+1)
+    std::vector<int64_t> Li;      // row indices (nnz)
+};
+
+CholSymbolic* chol_analyze_impl(
+    int64_t n, int64_t e, const int64_t* src, const int64_t* dst) {
+    auto* S = new CholSymbolic();
+    S->n = n;
     // -- adjacency (unique, no self loops) --------------------------------
     std::vector<std::vector<int64_t>> adj(static_cast<size_t>(n));
     for (int64_t k = 0; k < e; ++k) {
@@ -405,82 +408,83 @@ int64_t sparse_block_solve(
         adj[i].erase(std::unique(adj[i].begin(), adj[i].end()),
                      adj[i].end());
     }
-
-    std::vector<int64_t> perm;  // perm[new] = old
-    min_degree_order(n, adj, perm);
+    min_degree_order(n, adj, S->perm);
     std::vector<int64_t> iperm(static_cast<size_t>(n));
-    for (int64_t i = 0; i < n; ++i) iperm[perm[i]] = i;
+    for (int64_t i = 0; i < n; ++i) iperm[S->perm[i]] = i;
 
-    // -- permuted strict-lower pattern of A, by ROW (CSR-ish) -------------
-    // row r (new index) lists columns c < r; block value pointers resolved
-    // from the edge list (sum duplicates).
-    std::vector<std::vector<std::pair<int64_t, int64_t>>> rowpat(
-        static_cast<size_t>(n));  // (col, edge_k); edge_k<0 => transpose
+    S->rowpat.resize(static_cast<size_t>(n));
     for (int64_t k = 0; k < e; ++k) {
         int64_t s = src[k], d = dst[k];
         if (s == d || s < 0 || d < 0 || s >= n || d >= n) continue;
         int64_t ps = iperm[s], pd = iperm[d];
         // block H[s,d] = off[k] (tag +), H[d,s] = off[k]^T (tag -);
         // store the strict-lower entry of the permuted matrix
-        if (ps > pd) rowpat[ps].push_back({pd, k + 1});
-        else rowpat[pd].push_back({ps, -(k + 1)});
+        if (ps > pd) S->rowpat[ps].push_back({pd, k + 1});
+        else S->rowpat[pd].push_back({ps, -(k + 1)});
     }
     for (int64_t i = 0; i < n; ++i)
-        std::sort(rowpat[i].begin(), rowpat[i].end());
+        std::sort(S->rowpat[i].begin(), S->rowpat[i].end());
 
     // -- elimination tree (liu's algorithm with path compression) ---------
-    std::vector<int64_t> parent(static_cast<size_t>(n), -1);
+    S->parent.assign(static_cast<size_t>(n), -1);
     std::vector<int64_t> ancestor(static_cast<size_t>(n), -1);
     for (int64_t k2 = 0; k2 < n; ++k2) {
-        for (const auto& pc : rowpat[k2]) {
+        for (const auto& pc : S->rowpat[k2]) {
             int64_t i = pc.first;
             while (i != -1 && i < k2) {
                 int64_t next = ancestor[i];
                 ancestor[i] = k2;
-                if (next == -1) { parent[i] = k2; break; }
+                if (next == -1) { S->parent[i] = k2; break; }
                 i = next;
             }
         }
     }
 
-    // -- symbolic: column counts via ereach -------------------------------
+    // -- column counts via ereach ------------------------------------------
     std::vector<int64_t> mark(static_cast<size_t>(n), -1);
     std::vector<int64_t> colcount(static_cast<size_t>(n), 0);
-    std::vector<int64_t> estack(static_cast<size_t>(n));
     for (int64_t k2 = 0; k2 < n; ++k2) {
         mark[k2] = k2;
-        for (const auto& pc : rowpat[k2]) {
+        for (const auto& pc : S->rowpat[k2]) {
             int64_t i = pc.first;
             while (mark[i] != k2) {
                 mark[i] = k2;
                 ++colcount[i];
-                i = parent[i];
+                i = S->parent[i];
                 if (i == -1 || i >= k2) break;
             }
         }
     }
-    int64_t nnz = 0;
-    std::vector<int64_t> Lp(static_cast<size_t>(n) + 1, 0);
-    for (int64_t i = 0; i < n; ++i) {
-        Lp[i + 1] = Lp[i] + colcount[i];
-    }
-    nnz = Lp[n];
-    std::vector<int64_t> Li(static_cast<size_t>(nnz));
+    S->Lp.assign(static_cast<size_t>(n) + 1, 0);
+    for (int64_t i = 0; i < n; ++i) S->Lp[i + 1] = S->Lp[i] + colcount[i];
+    S->Li.resize(static_cast<size_t>(S->Lp[n]));
+    return S;
+}
+
+// Numeric factor + solve against a prepared symbolic analysis.
+// Returns nnz(L) or -1 on pivot failure.
+int64_t chol_factor_solve_impl(
+    CholSymbolic* S, const double* diag, const double* off,
+    const double* b, double* x) {
+    const int64_t n = S->n;
+    const std::vector<int64_t>& Lp = S->Lp;
+    std::vector<int64_t>& Li = S->Li;
+    const int64_t nnz = Lp[n];
     std::vector<double> Lx(static_cast<size_t>(nnz) * 9);
     std::vector<double> Ld(static_cast<size_t>(n) * 9);  // diag factors
-    std::vector<int64_t> Lnext(static_cast<size_t>(n), 0);  // fill cursor
-    for (int64_t i = 0; i < n; ++i) Lnext[i] = Lp[i];
+    std::vector<int64_t> Lnext(Lp.begin(), Lp.end() - 1);  // fill cursors
 
     // -- numeric: up-looking block rows ------------------------------------
     std::vector<double> xwork(static_cast<size_t>(n) * 9, 0.0);
-    std::vector<double> dwork(9);
-    std::vector<double> lkj(9);
-    std::fill(mark.begin(), mark.end(), -1);
+    std::vector<int64_t> mark(static_cast<size_t>(n), -1);
+    std::vector<int64_t> estack(static_cast<size_t>(n));
+    double dwork[9];
+    double lkj[9];
     for (int64_t k2 = 0; k2 < n; ++k2) {
         // scatter A row k2 (strict lower) into xwork; collect ereach
         int64_t top = n;
         mark[k2] = k2;
-        for (const auto& pc : rowpat[k2]) {
+        for (const auto& pc : S->rowpat[k2]) {
             int64_t c = pc.first;
             int64_t tag = pc.second;
             const double* blk = off + 9 * (std::llabs(tag) - 1);
@@ -497,13 +501,13 @@ int64_t sparse_block_solve(
             while (mark[i] != k2) {
                 mark[i] = k2;
                 estack[len++] = i;
-                i = parent[i];
+                i = S->parent[i];
                 if (i == -1 || i >= k2) break;
             }
             while (len > 0) estack[--top] = estack[--len];
         }
         // diagonal accumulator
-        const double* dk = diag + 9 * perm[k2];
+        const double* dk = diag + 9 * S->perm[k2];
         for (int t = 0; t < 9; ++t) dwork[t] = dk[t];
         // process pattern ascending (estack[top..n-1] holds disjoint
         // ascending path segments; sort to get global ascending order)
@@ -511,27 +515,27 @@ int64_t sparse_block_solve(
         for (int64_t si = top; si < n; ++si) {
             int64_t j = estack[si];
             double* xj = xwork.data() + 9 * j;
-            solve_right_lt(Ld.data() + 9 * j, xj, lkj.data());
+            solve_right_lt(Ld.data() + 9 * j, xj, lkj);
             for (int t = 0; t < 9; ++t) xj[t] = 0.0;
             // update x with column j of L (rows r: j < r < k2)
             for (int64_t p = Lp[j]; p < Lnext[j]; ++p) {
-                gemm_nt_sub(lkj.data(), Lx.data() + 9 * p,
+                gemm_nt_sub(lkj, Lx.data() + 9 * p,
                             xwork.data() + 9 * Li[p]);
             }
-            gemm_nt_sub(lkj.data(), lkj.data(), dwork.data());
+            gemm_nt_sub(lkj, lkj, dwork);
             // append L[k2, j]
             int64_t p = Lnext[j]++;
             Li[p] = k2;
-            std::memcpy(Lx.data() + 9 * p, lkj.data(), 9 * sizeof(double));
+            std::memcpy(Lx.data() + 9 * p, lkj, 9 * sizeof(double));
         }
-        if (!chol3(dwork.data(), Ld.data() + 9 * k2)) return -1;
+        if (!chol3(dwork, Ld.data() + 9 * k2)) return -1;
     }
 
     // -- triangular solves --------------------------------------------------
     // y = inv(L) P b ; x = P^T inv(L)^T y
     std::vector<double> y(static_cast<size_t>(n) * 3);
     for (int64_t i = 0; i < n; ++i) {
-        const double* bi = b + 3 * perm[i];
+        const double* bi = b + 3 * S->perm[i];
         y[3 * i] = bi[0]; y[3 * i + 1] = bi[1]; y[3 * i + 2] = bi[2];
     }
     for (int64_t j = 0; j < n; ++j) {
@@ -549,9 +553,48 @@ int64_t sparse_block_solve(
         bsub3(Ld.data() + 9 * j, yj);
     }
     for (int64_t i = 0; i < n; ++i) {
-        double* xi = x + 3 * perm[i];
+        double* xi = x + 3 * S->perm[i];
         xi[0] = y[3 * i]; xi[1] = y[3 * i + 1]; xi[2] = y[3 * i + 2];
     }
+    return nnz;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Stateful API: analyze once per Compute() (ordering + etree + pattern),
+// then factor+solve per LM iteration with only the values changing.
+void* sparse_chol_analyze(
+    int64_t n, int64_t e, const int64_t* src, const int64_t* dst) {
+    return chol_analyze_impl(n, e, src, dst);
+}
+
+int64_t sparse_chol_factor_solve(
+    void* handle, const double* diag, const double* off,
+    const double* b, double* x) {
+    return chol_factor_solve_impl(
+        static_cast<CholSymbolic*>(handle), diag, off, b, x);
+}
+
+void sparse_chol_free(void* handle) {
+    delete static_cast<CholSymbolic*>(handle);
+}
+
+// One-shot convenience wrapper (analyze + factor + solve).
+// Returns nnz(L) in blocks on success, -1 if a diagonal pivot fails
+// (caller falls back to the iterative path).
+int64_t sparse_block_solve(
+    int64_t n, int64_t e,
+    const int64_t* src, const int64_t* dst,  // (e,) node indices
+    const double* diag,   // (n, 9) damped gauge-fixed diagonal blocks
+    const double* off,    // (e, 9) H[src[k], dst[k]] blocks
+    const double* b,      // (n, 3)
+    double* x             // (n, 3) out
+) {
+    CholSymbolic* S = chol_analyze_impl(n, e, src, dst);
+    int64_t nnz = chol_factor_solve_impl(S, diag, off, b, x);
+    delete S;
     return nnz;
 }
 

@@ -254,6 +254,9 @@ def host_sparse_lm(poses, src, dst, rel, sqrt_info, free, cfg):
     # edges touching the gauge node only contribute to diag/grad, which
     # the row/col projection zeroes on the fixed side
     keep = free_b[src] & free_b[dst]
+    # symbolic analysis (ordering + etree + pattern) once; only the
+    # damped values change across LM iterations
+    chol = native.SparseCholesky(len(poses), src[keep], dst[keep])
     lam = cfg.initial_lm_lambda
     chi2 = _np_chi2(poses, src, dst, rel, sqrt_info)
     iters = 0
@@ -269,9 +272,7 @@ def host_sparse_lm(poses, src, dst, rel, sqrt_info, free, cfg):
         damp = lam * np.einsum("nii->n", diag)[:, None, None] * eye / 3.0
         diag_d = diag + damp + 1e-8 * eye
         diag_d[~free_b] = eye
-        x = native.sparse_block_solve(
-            src[keep], dst[keep], diag_d, hab[keep], grad
-        )
+        x = chol.factor_solve(diag_d, hab[keep], grad)
         if x is None:
             return None
         step = x * free_b[:, None]
