@@ -323,6 +323,8 @@ def cmd_config4(args) -> int:
     if os.environ.get("BENCH_STATS") == "1":
         for k, v in loc.stats.summary().items():
             print(f"# stage {k}: {v}", file=sys.stderr)
+            print(f"#   samples {loc.stats.samples[k][:40]}",
+                  file=sys.stderr)
     _emit("localization_scans_per_sec", sps, "scans/s", 50.0)
     return 0
 

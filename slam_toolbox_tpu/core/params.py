@@ -29,6 +29,14 @@ class SolverConfig:
     initial_lm_lambda: float = 1e-4
     use_double: bool = True           # solve in f64 on host-backed path
     dist_edge_threshold: int = 4096   # edges before the sharded solve kicks in
+    # node count from which Compute() prefers the native host sparse
+    # Cholesky (se2_solver.host_sparse_lm). 0 = always: on the tunneled
+    # TPU the device solve pays ~25 ms dispatch/ack + ~25 ms fetch per
+    # Compute and a multi-minute remote compile per (n,e) bucket, while
+    # the host path solves n=925 in ~25 ms with zero tunnel traffic.
+    # Raise past DENSE_MAX_NODES to prefer the on-device dense solve
+    # (co-located TPU deployments).
+    host_sparse_min_nodes: int = 0
 
 
 @dataclass(frozen=True)

@@ -28,11 +28,13 @@ import numpy as np
 
 from slam_toolbox_tpu.kernels.match import _score_impl, _raster_quant_impl
 
-# bucket floors are deliberately coarse: every (NC, Cb) pair is its own
-# executable and remote compiles cost minutes late in a tunnel session —
-# one (2, 64) program covers typical loop events end-to-end, at the cost
-# of some wasted device work (~7 ms per padded chain slot)
-CHAIN_BUCKETS = (64, 128)
+# bucket floors balance executables against padding: every (NC, Cb) pair
+# is its own executable and remote compiles cost minutes late in a tunnel
+# session, but padded chain slots cost real raster work per step. Near
+# chains measure 10-16 scans in practice (warehouse/apartment worlds), so
+# a 16 floor carries the common case at ~1/4 the raster cost of the old
+# 64 floor; longer chains (loop candidates) jump to 64.
+CHAIN_BUCKETS = (16, 64, 128)
 
 
 def chain_bucket(n: int) -> int:
@@ -245,9 +247,11 @@ def dispatch_chain_matches(seq_matcher, pairs, pool):
     out = []
     for k0 in range(0, len(pairs), PAIR_CHUNK):
         chunk = pairs[k0:k0 + PAIR_CHUNK]
-        # two NP buckets only — every (NP, Cb) pair is its own multi-
-        # minute remote compile; padded steps cost ~3 ms each
-        NP = 2 if len(chunk) <= 2 else PAIR_CHUNK
+        # three NP buckets — every (NP, Cb) pair is its own multi-minute
+        # remote compile, but padded steps cost ~1.5-3 ms each and drains
+        # carry 2-12 pairs in practice
+        NP = (2 if len(chunk) <= 2
+              else 8 if len(chunk) <= 8 else PAIR_CHUNK)
         Cb = max(chain_bucket(len(c)) for _, c in chunk)
         qidx = np.zeros(NP, np.int32)
         cidx = np.zeros((NP, Cb), np.int32)   # slot 0 = zero row

@@ -609,8 +609,20 @@ class StreamingPipeline:
             # speeds). Running-buffer eviction sees the pre-fusion pose
             # here (mm-scale difference at the eviction boundary only) —
             # part of the documented between-drain approximation.
+            predict_check = _os.environ.get("SLAM_PREDICT_CHECK") == "1"
+            anchor = sm.get_last_scan(self.pending[0].laser.name)
             staged = []
             for i, scan in enumerate(self.pending):
+                # dispatch-time pose prediction accuracy probe: would the
+                # near-chain membership computed from the odometry-
+                # propagated prior (known BEFORE the batch program runs)
+                # match the membership from the device-corrected pose?
+                pred_pose = None
+                if predict_check and anchor is not None:
+                    pred_pose = np.asarray(geometry.transform_pose_between(
+                        anchor.odom_pose, anchor.corrected_pose,
+                        scan.odom_pose,
+                    ))
                 cov = set_poses(i, scan)
                 sm.add_scan(scan)
                 pf = None
@@ -621,6 +633,31 @@ class StreamingPipeline:
                             scan, cov, dispatch=False
                         )
                     sm.add_running_scan(scan)
+                    if pred_pose is not None and pf is not None:
+                        real_pose = scan.corrected_pose.copy()
+                        scan.set_corrected_pose(pred_pose)
+                        mcs = self.mapper.config.loop_match_minimum_chain_size
+                        pred_chains = [
+                            tuple(s.unique_id for s in c)
+                            for c in graph.find_near_chains(scan)
+                            if len(c) >= mcs
+                        ]
+                        scan.set_corrected_pose(real_pose)
+                        actual = [
+                            tuple(s.unique_id for s in c) for c in pf[0]
+                        ]
+                        stats.count("predict_chain_total")
+                        if pred_chains == actual:
+                            stats.count("predict_chain_hit")
+                        pend_ids = {
+                            s.unique_id for s in self.pending
+                        }
+                        for c in actual:
+                            stats.count(
+                                "chain_inbatch"
+                                if any(u in pend_ids for u in c)
+                                else "chain_prebatch"
+                            )
                 sm.set_last_scan(scan)
                 staged.append((scan, pf))
             # phase 2: the whole batch's near-chain matches run as ONE
@@ -636,6 +673,10 @@ class StreamingPipeline:
                     pairs.extend((scan, chain) for chain in pf[0])
             fetched = []
             if pairs:
+                stats.note(
+                    "near_chain_pairs", len(pairs),
+                    tuple(len(c) for _, c in pairs),
+                )
                 with stage_timer(stats, "near_chain_match"):
                     rows = lv.dispatch_chain_matches(
                         self.matcher, pairs, self.pack_pool

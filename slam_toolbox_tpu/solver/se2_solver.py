@@ -578,10 +578,11 @@ class PoseGraphSolver:
 
         import time as _time
 
-        # past the dense-TPU ceiling: host sparse Cholesky (see
-        # host_sparse_lm) — falls through to the device chain-PCG path
-        # only if the native lib is unavailable
-        if n > DENSE_MAX_NODES:
+        # native host sparse Cholesky (see host_sparse_lm): the default
+        # everywhere (host_sparse_min_nodes=0) and mandatory past the
+        # dense ceiling — the device paths remain for co-located-TPU
+        # configs and as the fallback when the native lib is unavailable
+        if n >= self.config.host_sparse_min_nodes or n > DENSE_MAX_NODES:
             res = self._compute_host_sparse(n, e)
             if res is not None:
                 return res

@@ -141,8 +141,18 @@ def test_host_sparse_matches_device_path():
     (dense-Cholesky) LM for a graph both can solve."""
     from slam_toolbox_tpu.solver import se2_solver
 
+    from slam_toolbox_tpu.core.params import SolverConfig
+
     gt, init, edges = build_loop_graph(n=60, drift=0.04, seed=7)
-    dev, _ = run_solver(init, edges)
+    # force the on-device LM (host_sparse_min_nodes past the graph size)
+    s = PoseGraphSolver(SolverConfig(host_sparse_min_nodes=10**9))
+    for i, p in enumerate(init):
+        s.add_node(i, p)
+    for (i, j, rel, cov) in edges:
+        s.add_constraint(i, j, rel, cov)
+    corr = dict(s.compute())
+    dev = np.stack([corr[i] for i in range(len(init))])
+    assert "host_sparse_ms" not in s.last_stats
 
     src = np.array([e[0] for e in edges], np.int64)
     dst = np.array([e[1] for e in edges], np.int64)
