@@ -530,6 +530,107 @@ class PoseGraph:
                 chains.append(chain)
         return chains
 
+    def predict_near_chains(self, pending, anchor):
+        """Dispatch-time simulation of find_near_chains for a pending
+        batch: each scan's pose is odometry-propagated from `anchor` (the
+        last finished scan), pending vertices are appended to the query
+        structure at their predicted barycenters, and the BFS reaches the
+        graph through the previous-scan link chain — exactly the
+        connectivity phase 1 will create. Used by the streaming drain to
+        speculatively dispatch the whole batch's near-chain matches
+        together with the batch program (one device round trip instead of
+        two); phase 2 validates membership against the real
+        find_near_chains and falls back per scan on mismatch, so results
+        are bit-identical regardless of prediction accuracy.
+
+        Returns a list (per pending scan) of chain lists, entries None
+        where prediction is unavailable (e.g. a predicted chain would
+        include another pending scan — never observed in practice: any
+        chain walking through the contiguous recent slots reaches the
+        query slot and is invalidated, Mapper.cpp:1721/1747)."""
+        from slam_toolbox_tpu import native
+        from slam_toolbox_tpu.core import geometry as geo
+
+        cfg = self.mapper.config
+        name = pending[0].laser.name
+        none = [None] * len(pending)
+        if (
+            native.get_lib() is None
+            or anchor is None
+            or len(self.vertices) != 1
+            or name not in self.vertices
+            or any(s.laser.name != name for s in pending)
+        ):
+            return none
+        (scans, uid_to_idx, xy, present, indptr,
+         indices) = self._query_structure()
+        anchor_slot = uid_to_idx.get(anchor.unique_id)
+        if anchor_slot is None:
+            return none
+        n0 = len(scans)
+        m = len(pending)
+        use_bc = cfg.use_scan_barycenter
+        mcs = cfg.loop_match_minimum_chain_size
+
+        # predicted poses: the same propagation set_poses applies
+        # (corrected = transform(prev_odom, prev_corrected, odom)),
+        # compounded across the batch from the anchor
+        prev_odom = anchor.odom_pose
+        prev_corr = anchor.corrected_pose
+        ext_xy = np.zeros((n0 + m, 2))
+        ext_xy[:n0] = xy
+        for i, s in enumerate(pending):
+            pred = np.asarray(geo.transform_pose_between(
+                prev_odom, prev_corr, s.odom_pose
+            ))
+            s.set_corrected_pose(pred)  # overwritten by set_poses later
+            ext_xy[n0 + i] = s.reference_pose(use_bc)[:2]
+            prev_odom, prev_corr = s.odom_pose, pred
+
+        # extended CSR: pending i's row links to its predecessor (and
+        # successor, for completeness); reverse edges into the old rows
+        # are not needed — BFS only ever ENTERS the old graph from the
+        # pending chain (via pending0 -> anchor)
+        ext_indptr = np.zeros(n0 + m + 1, np.int64)
+        ext_indptr[: n0 + 1] = indptr
+        new_rows = []
+        for i in range(m):
+            row = [anchor_slot if i == 0 else n0 + i - 1]
+            if i + 1 < m:
+                row.append(n0 + i + 1)
+            new_rows.append(row)
+            ext_indptr[n0 + i + 1] = ext_indptr[n0 + i] + len(row)
+        ext_indices = np.concatenate(
+            [indices] + [np.asarray(r, np.int64) for r in new_rows]
+        )
+        ext_present = np.zeros(n0 + m, np.uint8)
+        ext_present[:n0] = present
+
+        out = []
+        for i, s in enumerate(pending):
+            ext_present[n0 + i] = 1  # scans j > i do not exist yet
+            center = ext_xy[n0 + i]
+            order = native.bfs_within_radius(
+                ext_xy, ext_present, ext_indptr, ext_indices, n0 + i,
+                center, cfg.link_scan_maximum_distance,
+            )
+            rows = native.near_chains_sweep(
+                ext_xy, ext_present, order, n0 + i, center,
+                cfg.link_scan_maximum_distance,
+            )
+            chains = []
+            for lo, hi, valid in rows:
+                if not valid:
+                    continue
+                if hi > n0:  # includes another pending scan: unpredictable
+                    chains = None
+                    break
+                chain = [scans[j] for j in range(lo, hi) if present[j]]
+                if len(chain) >= mcs:
+                    chains.append(chain)
+            out.append(chains)
+        return out
+
     def find_possible_loop_closure(self, scan, sensor_name, start_id: int):
         """FindPossibleLoopClosure (Mapper.cpp:1960-2010): sweep state ids
         collecting candidates within loop search distance that are NOT

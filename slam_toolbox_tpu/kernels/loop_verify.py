@@ -228,6 +228,100 @@ _chain_match_jit = jax.jit(
                      "seq_na_c", "seq_na_f"),
 )
 
+
+def _chain_match_echo_impl(
+    pool, results, qidx, ridx, cidx, cvalid, poses,
+    seq_args: dict, seq_sigma, seq_half_span,
+    seq_G: int, seq_hk: int, seq_acc_r: int, seq_parity: bool,
+    seq_na_c: int, seq_na_f: int,
+):
+    """Speculative variant of _chain_match_impl, dispatched right after
+    the batch program BEFORE its results are fetched: each pair's match
+    center is read from the batch result ring ON DEVICE (results[ridx,
+    1:4] is the query's post-match sensor-pose mean — the exact value the
+    host would pass after set_poses), so the chain matches execute
+    back-to-back with the batch program and their rows come back in the
+    SAME fetch (the output echoes the result ring, rows appended). The
+    host validates predicted chain membership afterwards and falls back
+    per scan on mismatch — hit rows are bit-identical to the
+    non-speculative path."""
+
+    def step(c, inp):
+        qi, ri, ci, cv, ps = inp
+        qpack = pool[qi]
+        local = qpack[:, 0:2]
+        finite = (qpack[:, 7].astype(jnp.int32) & 1) > 0
+        packs = pool[ci]
+        center = results[ri, 1:4]
+        off = center[:2] - seq_half_span
+        grid, pgrid = _chain_raster(
+            packs, ps, cv, center[:2], off,
+            seq_args["scale"], seq_sigma, seq_G, seq_hk, seq_acc_r,
+            seq_parity,
+        )
+        row = _score_impl(
+            grid, pgrid, jnp.concatenate([center, off]), local, finite,
+            penalize=jnp.bool_(False),
+            grid_size=seq_G, na_coarse=seq_na_c, na_fine=seq_na_f,
+            acc_r=seq_acc_r, refine=True, **seq_args,
+        )
+        return c, row
+
+    _, rows = jax.lax.scan(step, 0, (qidx, ridx, cidx, cvalid, poses))
+    return jnp.concatenate([results, rows], axis=0)
+
+
+_chain_match_echo_jit = jax.jit(
+    _chain_match_echo_impl,
+    static_argnames=("seq_G", "seq_hk", "seq_acc_r", "seq_parity",
+                     "seq_na_c", "seq_na_f"),
+)
+
+
+def dispatch_chain_matches_spec(seq_matcher, pairs, pool, results):
+    """Speculative dispatch: pairs = [(query_scan, ring_row, chain)];
+    `results` is the IN-FLIGHT batch result ring. Returns the device
+    (RESULT_CAP + NP, 13) echo array (result ring followed by one row per
+    pair, pairs order) or None when a pool slot is missing or the batch
+    exceeds one chunk."""
+    if pool is None or not pairs or len(pairs) > PAIR_CHUNK:
+        return None
+    for q, _, chain in pairs:
+        if getattr(q, "_pool_slot", None) is None:
+            return None
+        for sc in chain:
+            if getattr(sc, "_pool_slot", None) is None:
+                return None
+    NP = (2 if len(pairs) <= 2
+          else 8 if len(pairs) <= 8 else PAIR_CHUNK)
+    Cb = max(chain_bucket(len(c)) for _, _, c in pairs)
+    qidx = np.zeros(NP, np.int32)
+    ridx = np.zeros(NP, np.int32)
+    cidx = np.zeros((NP, Cb), np.int32)   # slot 0 = zero row
+    cvalid = np.zeros((NP, Cb), bool)
+    poses = np.zeros((NP, Cb, 3), np.float32)
+    for p, (q, rrow, chain) in enumerate(pairs):
+        qidx[p] = q._pool_slot
+        ridx[p] = rrow
+        for i, sc in enumerate(chain):
+            cidx[p, i] = sc._pool_slot
+            cvalid[p, i] = True
+            poses[p, i] = sc.sensor_pose
+    return _chain_match_echo_jit(
+        pool.buf, results, jnp.asarray(qidx), jnp.asarray(ridx),
+        jnp.asarray(cidx), jnp.asarray(cvalid), jnp.asarray(poses),
+        seq_args=dict(seq_matcher._score_args),
+        seq_sigma=np.float32(seq_matcher.sigma_cells),
+        seq_half_span=np.float32(
+            0.5 * (seq_matcher.G - 1) * seq_matcher.resolution),
+        seq_G=seq_matcher.G, seq_hk=seq_matcher.half_kernel,
+        seq_acc_r=seq_matcher._acc_r,
+        seq_parity=seq_matcher.use_pallas,
+        seq_na_c=seq_matcher._na_coarse,
+        seq_na_f=seq_matcher._na_fine,
+    )
+
+
 PAIR_CHUNK = 16
 
 

@@ -553,21 +553,60 @@ class StreamingPipeline:
         per-scan path (tested equivalence)."""
         if not self.pending:
             return
+        from slam_toolbox_tpu.kernels import loop_verify as lv
         from slam_toolbox_tpu.utils.metrics import stage_timer
 
         stats = self.mapper.stats
         n = len(self.pending)
+        matching = self.mapper.config.use_scan_matching
+        anchor = self.mapper.sensor_manager.get_last_scan(
+            self.pending[0].laser.name
+        )
         self._dispatch_batch(self.pending)
         results = self.state["results"]
-        with stage_timer(stats, "drain_fetch"):
-            results.block_until_ready()
-            res_np = np.asarray(results, np.float64)
         start = self._dispatched_since_refresh - n
+        # speculative near-chain dispatch: predict each scan's chains from
+        # odometry-propagated poses (graph.predict_near_chains) and run
+        # the whole batch's chain matches back-to-back with the batch
+        # program — their rows ride the SAME fetch (echo program). Phase 2
+        # validates membership per scan and redispatches on mismatch, so
+        # results are bit-identical either way (~88% per-scan hit rate
+        # measured on the warehouse localization config).
+        spec = None
+        pred_chains = None
+        spec_offsets = {}
+        if n > 1 and matching and anchor is not None:
+            pred_chains = self.mapper.graph.predict_near_chains(
+                self.pending, anchor
+            )
+            spairs = []
+            for i, (scan, chains) in enumerate(
+                zip(self.pending, pred_chains)
+            ):
+                if not chains:
+                    continue
+                spec_offsets[i] = (len(spairs), len(chains))
+                spairs.extend(
+                    (scan, (start + i) % RESULT_CAP, c) for c in chains
+                )
+            if spairs:
+                spec = lv.dispatch_chain_matches_spec(
+                    self.matcher, spairs, self.pack_pool, results
+                )
+        with stage_timer(stats, "drain_fetch"):
+            if spec is not None:
+                spec.block_until_ready()
+                comb = np.asarray(spec, np.float64)
+                res_np = comb[:RESULT_CAP]
+                spec_np = comb[RESULT_CAP:]
+            else:
+                results.block_until_ready()
+                res_np = np.asarray(results, np.float64)
+                spec_np = None
         poses_moved = False
         any_closed = False
         sm = self.mapper.sensor_manager
         graph = self.mapper.graph
-        matching = self.mapper.config.use_scan_matching
 
         def set_poses(i, scan):
             packed = res_np[(start + i) % RESULT_CAP]
@@ -609,20 +648,8 @@ class StreamingPipeline:
             # speeds). Running-buffer eviction sees the pre-fusion pose
             # here (mm-scale difference at the eviction boundary only) —
             # part of the documented between-drain approximation.
-            predict_check = _os.environ.get("SLAM_PREDICT_CHECK") == "1"
-            anchor = sm.get_last_scan(self.pending[0].laser.name)
             staged = []
             for i, scan in enumerate(self.pending):
-                # dispatch-time pose prediction accuracy probe: would the
-                # near-chain membership computed from the odometry-
-                # propagated prior (known BEFORE the batch program runs)
-                # match the membership from the device-corrected pose?
-                pred_pose = None
-                if predict_check and anchor is not None:
-                    pred_pose = np.asarray(geometry.transform_pose_between(
-                        anchor.odom_pose, anchor.corrected_pose,
-                        scan.odom_pose,
-                    ))
                 cov = set_poses(i, scan)
                 sm.add_scan(scan)
                 pf = None
@@ -633,60 +660,56 @@ class StreamingPipeline:
                             scan, cov, dispatch=False
                         )
                     sm.add_running_scan(scan)
-                    if pred_pose is not None and pf is not None:
-                        real_pose = scan.corrected_pose.copy()
-                        scan.set_corrected_pose(pred_pose)
-                        mcs = self.mapper.config.loop_match_minimum_chain_size
-                        pred_chains = [
-                            tuple(s.unique_id for s in c)
-                            for c in graph.find_near_chains(scan)
-                            if len(c) >= mcs
-                        ]
-                        scan.set_corrected_pose(real_pose)
-                        actual = [
-                            tuple(s.unique_id for s in c) for c in pf[0]
-                        ]
-                        stats.count("predict_chain_total")
-                        if pred_chains == actual:
-                            stats.count("predict_chain_hit")
-                        pend_ids = {
-                            s.unique_id for s in self.pending
-                        }
-                        for c in actual:
-                            stats.count(
-                                "chain_inbatch"
-                                if any(u in pend_ids for u in c)
-                                else "chain_prebatch"
-                            )
                 sm.set_last_scan(scan)
                 staged.append((scan, pf))
-            # phase 2: the whole batch's near-chain matches run as ONE
-            # fused pool-gather program (scan over (query, chain) pairs)
-            # with a single stacked fetch; per-chain dispatch is the
-            # fallback when a scan has no pool slot
-            from slam_toolbox_tpu.kernels import loop_verify as lv
+            # phase 2: validate the speculative rows per scan (chain
+            # membership + query response, see predict_near_chains); any
+            # missed scan's chains run as ONE fused pool-gather program
+            # (scan over (query, chain) pairs) with a single stacked
+            # fetch; per-chain dispatch is the fallback when a scan has
+            # no pool slot
             from slam_toolbox_tpu.kernels.match import Matcher
 
-            pairs = []
-            for scan, pf in staged:
-                if pf is not None:
-                    pairs.extend((scan, chain) for chain in pf[0])
-            fetched = []
-            if pairs:
-                stats.note(
-                    "near_chain_pairs", len(pairs),
-                    tuple(len(c) for _, c in pairs),
-                )
+            plan = []  # per staged entry: (kind, offset, count)
+            miss_pairs = []
+            for i, (scan, pf) in enumerate(staged):
+                if pf is None or not pf[0]:
+                    plan.append(("none", 0, 0))
+                    continue
+                actual_ids = [
+                    tuple(s.unique_id for s in c) for c in pf[0]
+                ]
+                hit = False
+                if spec_np is not None and i in spec_offsets:
+                    off, cnt = spec_offsets[i]
+                    pred_ids = [
+                        tuple(s.unique_id for s in c)
+                        for c in pred_chains[i]
+                    ]
+                    hit = (
+                        pred_ids == actual_ids
+                        and res_np[(start + i) % RESULT_CAP][0] > 0.0
+                    )
+                if hit:
+                    plan.append(("spec", off, cnt))
+                    stats.count("spec_chain_hit")
+                else:
+                    plan.append(("miss", len(miss_pairs), len(pf[0])))
+                    miss_pairs.extend((scan, c) for c in pf[0])
+                    if spec_np is not None:
+                        stats.count("spec_chain_miss")
+            fetched_miss = []
+            if miss_pairs:
                 with stage_timer(stats, "near_chain_match"):
                     rows = lv.dispatch_chain_matches(
-                        self.matcher, pairs, self.pack_pool
+                        self.matcher, miss_pairs, self.pack_pool
                     )
                     if rows is not None:
                         stacked = (rows[0] if len(rows) == 1
                                    else jnp.concatenate(rows, axis=0))
                     else:  # fallback: per-chain two-program dispatch
                         packs = []
-                        for q, chain in pairs:
+                        for q, chain in miss_pairs:
                             packs.extend(
                                 self.matcher.dispatch_scans_batch(
                                     q, [chain], penalize=False,
@@ -695,16 +718,23 @@ class StreamingPipeline:
                             )
                         stacked = jnp.stack(packs)
                     stacked.block_until_ready()
-                    fetched = Matcher.results_from_packed(
+                    fetched_miss = Matcher.results_from_packed(
                         np.asarray(stacked)
                     )
-            k = 0
-            for scan, pf in staged:
+            spec_results = (
+                Matcher.results_from_packed(spec_np)
+                if spec_np is not None and len(spec_np) else []
+            )
+            for (scan, pf), (kind, off, cnt) in zip(staged, plan):
                 pose_before = scan.corrected_pose.copy()
                 res_i = None
                 if pf is not None:
-                    res_i = fetched[k:k + len(pf[0])]
-                    k += len(pf[0])
+                    if kind == "spec":
+                        res_i = spec_results[off:off + cnt]
+                    elif kind == "miss":
+                        res_i = fetched_miss[off:off + cnt]
+                    else:
+                        res_i = []
                 with stage_timer(stats, "graph_edges"):
                     graph.add_edges_finish(scan, pf, results=res_i)
                 if np.any(np.abs(scan.corrected_pose - pose_before) > 1e-7):

@@ -67,6 +67,45 @@ def test_streaming_batched_beats_odometry(dataset):
     assert ate < 0.25, f"streaming ATE {ate}"
 
 
+def test_speculative_chain_match_engages_and_matches_classic(dataset):
+    """The speculative near-chain path (predict_near_chains + echo
+    program) must actually fire on a revisit-heavy batched run, and the
+    result must stay within the documented batched-path bounds of the
+    classic trajectory (hits are bit-identical to the non-speculative
+    batched path; misses fall back, so only engagement needs checking)."""
+    from slam_toolbox_tpu.native import get_lib
+
+    if get_lib() is None:
+        pytest.skip("native lib unavailable")
+    laser, cfg, _ = dataset
+    # near chains only appear on REVISITS (chain scans outside the
+    # running buffer): drive two laps of the room loop
+    world = SegmentWorld.rooms(16.0, 10.0)
+    sim = LidarSimulator(world, laser, range_noise=0.01,
+                         odom_noise=(0.02, 0.008), seed=47)
+    lap = np.array([
+        (-6.0, -3.5), (1.5, -3.5), (5.5, -3.5), (5.5, 3.5), (1.0, 3.5),
+        (-3.0, 3.5), (-6.0, 3.0), (-6.0, -3.0),
+    ])
+    data = sim.simulate(np.concatenate([lap, lap, lap[:3]]), step=0.45)
+    mapper = Mapper(cfg)
+    mapper.stats.enabled = True
+    pipe = StreamingPipeline(mapper, laser, drain_every=4)
+    accepted = []
+    for i, (scan, tp) in enumerate(data):
+        s = LocalizedScan(laser, scan.ranges, scan.odom_pose, time=i * 0.1)
+        if pipe.process_scan(s):
+            accepted.append((s, tp))
+    pipe.drain()
+    hits = mapper.stats.counts.get("spec_chain_hit", 0)
+    misses = mapper.stats.counts.get("spec_chain_miss", 0)
+    assert hits + misses > 0, "speculation never engaged"
+    assert hits > 0, "speculation engaged but never hit"
+    est = np.stack([s.corrected_pose for s, _ in accepted])
+    gt = np.stack([tp for _, tp in accepted])
+    assert ate_rmse(est, gt) < 0.25
+
+
 def test_streaming_graph_complete(dataset):
     laser, cfg, data = dataset
     mapper = Mapper(cfg)
