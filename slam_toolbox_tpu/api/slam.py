@@ -246,9 +246,12 @@ class SlamSession:
         return was_running
 
     def flush(self) -> None:
-        """Drain the streaming pipeline (no-op otherwise)."""
+        """Drain the streaming pipeline (no-op otherwise) and complete any
+        deferred loop closure, so every accessor behind flush() sees fully
+        settled poses."""
         if self._pipe is not None:
             self._pipe.drain()
+            self._pipe.settle()
 
     @property
     def stats(self):
@@ -431,15 +434,22 @@ class SlamSession:
         self._warm_thread.start()
 
     # -- graph access for visualization / manual closure --------------------
+    def _settle_pipe(self) -> None:
+        if self._pipe is not None:
+            self._pipe.settle()
+
     def get_graph(self):
+        self._settle_pipe()
         return self.mapper.solver.get_graph()
 
     def modify_node(self, unique_id: int, pose) -> None:
+        self._settle_pipe()
         self.mapper.solver.modify_node(unique_id, pose)
 
     def manual_loop_closure(self, moved_nodes) -> None:
         """loop_closure_assistant.cpp:276-319: apply manual node moves then
         re-optimize and write back."""
+        self._settle_pipe()
         for uid, pose in moved_nodes:
             self.mapper.solver.modify_node(uid, pose)
         self.mapper.graph.correct_poses()

@@ -701,6 +701,76 @@ class PoseGraph:
                 chain = []
         return chain, sid
 
+    def _sweep_chains(self, scan, sensor_name, start_id):
+        """Enumerate every remaining candidate chain from start_id (the
+        sweep half of TryCloseLoop)."""
+        from slam_toolbox_tpu.utils.metrics import stage_timer
+
+        chains = []
+        with stage_timer(self.mapper.stats, "loop_candidates"):
+            while True:
+                chain, start_id = self.find_possible_loop_closure(
+                    scan, sensor_name, start_id
+                )
+                if not chain:
+                    break
+                chains.append(chain)
+        if chains:
+            self.mapper.stats.note(
+                "loop_chains", len(chains),
+                sum(len(c) for c in chains),
+            )
+        return chains, start_id
+
+    def try_close_loop_begin(self, scan, sensor_name):
+        """Asynchronous first half of TryCloseLoop for the streaming
+        drain: sweep the candidate chains and DISPATCH the fused verify
+        program without waiting on it. Returns a bool when the attempt
+        resolved synchronously (no candidates, or the fused kernel path is
+        unavailable so the staged blocking path ran), else an opaque
+        handle for try_close_loop_finish. Deferring the fetch lets the
+        verify's device time overlap the next batch's host-side
+        accumulation; the finish runs before any later bookkeeping reads
+        or moves poses, so results are identical to the blocking call."""
+        from slam_toolbox_tpu.kernels import loop_verify as lv
+        from slam_toolbox_tpu.utils.metrics import stage_timer
+
+        lm = self.mapper.loop_matcher
+        sm_seq = self.mapper.sequential_matcher
+        if not (lm.use_pallas and sm_seq.use_pallas):
+            return self.try_close_loop(scan, sensor_name)
+        chains, start_id = self._sweep_chains(scan, sensor_name, 0)
+        if not chains:
+            return False
+        with stage_timer(self.mapper.stats, "loop_verify_dispatch"):
+            dev_rows = lv.dispatch_loop_verify(
+                lm, sm_seq, scan, chains, self.mapper.config,
+                pool=getattr(self.mapper, "_pack_pool", None),
+            )
+        return (scan, sensor_name, chains, dev_rows, start_id)
+
+    def try_close_loop_finish(self, handle) -> bool:
+        """Second half of try_close_loop_begin: fetch the in-flight verify
+        rows, apply gates/link/optimize, and — when a closure moved poses —
+        resume the sweep from the saved id exactly like the blocking
+        loop."""
+        if isinstance(handle, bool):
+            return handle
+        scan, sensor_name, chains, dev_rows, start_id = handle
+        cfg = self.mapper.config
+        if not self._fused_finish(scan, chains, dev_rows, cfg):
+            return False
+        # a closure moved poses: re-sweep the remaining candidates with
+        # the corrected poses (blocking rounds, as in try_close_loop)
+        while True:
+            chains, start_id = self._sweep_chains(
+                scan, sensor_name, start_id
+            )
+            if not chains:
+                return True
+            if not self._try_close_fused(scan, chains, cfg):
+                return True
+
     def try_close_loop(self, scan, sensor_name) -> bool:
         """TryCloseLoop (Mapper.cpp:1500-1561): coarse match against each
         candidate chain, gate on response/variance, verify with a fine
@@ -714,21 +784,11 @@ class PoseGraph:
         closed = False
         start_id = 0
         while True:
-            chains = []
-            with stage_timer(self.mapper.stats, "loop_candidates"):
-                while True:
-                    chain, start_id = self.find_possible_loop_closure(
-                        scan, sensor_name, start_id
-                    )
-                    if not chain:
-                        break
-                    chains.append(chain)
+            chains, start_id = self._sweep_chains(
+                scan, sensor_name, start_id
+            )
             if not chains:
                 return closed
-            self.mapper.stats.note(
-                "loop_chains", len(chains),
-                sum(len(c) for c in chains),
-            )
             lm = self.mapper.loop_matcher
             sm_seq = self.mapper.sequential_matcher
             if lm.use_pallas and sm_seq.use_pallas:
@@ -816,17 +876,26 @@ class PoseGraph:
         (kernels/loop_verify.py) — the staged path pays two tunnel round
         trips and a second host chain-raster prep per loop event. Gate
         values and acceptance order are identical to the staged path."""
-        from slam_toolbox_tpu.core.scan import LocalizedScan
         from slam_toolbox_tpu.kernels import loop_verify as lv
+        from slam_toolbox_tpu.utils.metrics import stage_timer
+
+        with stage_timer(self.mapper.stats, "loop_verify"):
+            dev_rows = lv.dispatch_loop_verify(
+                self.mapper.loop_matcher, self.mapper.sequential_matcher,
+                scan, chains, cfg,
+                pool=getattr(self.mapper, "_pack_pool", None),
+            )
+        return self._fused_finish(scan, chains, dev_rows, cfg)
+
+    def _fused_finish(self, scan, chains, dev_rows, cfg) -> bool:
+        """Host half of the fused verify: fetch the packed rows, apply the
+        gates and the first-passing-chain acceptance, link and optimize."""
+        from slam_toolbox_tpu.core.scan import LocalizedScan
         from slam_toolbox_tpu.kernels.match import Matcher
         from slam_toolbox_tpu.utils.metrics import stage_timer
 
         seq = self.mapper.sequential_matcher
-        with stage_timer(self.mapper.stats, "loop_verify"):
-            dev_rows = lv.dispatch_loop_verify(
-                self.mapper.loop_matcher, seq, scan, chains, cfg,
-                pool=getattr(self.mapper, "_pack_pool", None),
-            )
+        with stage_timer(self.mapper.stats, "loop_verify_wait"):
             dev_rows.block_until_ready()
             rows = np.asarray(dev_rows, np.float64)
         from slam_toolbox_tpu.core.geometry import KT_TOLERANCE

@@ -392,6 +392,17 @@ class StreamingPipeline:
         self.post_finish = None
         self._pending_dev = []   # uploaded 16-scan chunk arrays
         self._chunk_np = []      # host packs awaiting the next chunk
+        # deferred loop closure: the drain dispatches the fused verify
+        # program and returns without waiting; settle() (called at the
+        # start of the next drain, or by flush/graph accessors) fetches
+        # the rows and applies the closure BEFORE any later bookkeeping,
+        # so the verify's device time hides behind host-side accumulation
+        # with bit-identical results. Between drain and settle the online
+        # pose misses the (rare) closure correction by one accumulation
+        # window — an extension of the documented between-drain
+        # approximation.
+        self._deferred_loop = None
+        self._post_drain_flags = (False, False)
         self.pack_pool = PackPool(self.B)
         mapper._pack_pool = self.pack_pool  # loop verify gathers from it
         # seed with any pre-existing scans (deserialized prior graphs):
@@ -545,12 +556,32 @@ class StreamingPipeline:
             **self._batch_args, **self._batch_static,
         )
 
+    def settle(self) -> None:
+        """Complete a deferred loop closure from the previous drain: fetch
+        the in-flight verify rows, apply gates/link/optimize, and resync
+        the device state if anything moved. Runs before the next drain's
+        bookkeeping (and on flush / graph accessors), so results are
+        identical to the blocking path."""
+        if self._deferred_loop is None:
+            return
+        from slam_toolbox_tpu.utils.metrics import stage_timer
+
+        handle = self._deferred_loop
+        self._deferred_loop = None
+        poses_moved, buffer_changed = self._post_drain_flags
+        self._post_drain_flags = (False, False)
+        with stage_timer(self.mapper.stats, "loop_closure"):
+            any_closed = self.mapper.graph.try_close_loop_finish(handle)
+        if poses_moved or any_closed or buffer_changed:
+            self.refresh_state()
+
     def drain(self) -> None:
         """Fetch pending results and replay standard graph bookkeeping in
         two phases (host links + async near-chain dispatch, then one
         batched wait + link/fuse), with one loop-closure attempt on the
         newest scan. With drain_every=1 the sequence is exactly the classic
         per-scan path (tested equivalence)."""
+        self.settle()
         if not self.pending:
             return
         from slam_toolbox_tpu.kernels import loop_verify as lv
@@ -743,13 +774,26 @@ class StreamingPipeline:
                     buffer_changed |= bool(self.post_finish(scan))
             # loop closure once per batch on the newest scan (candidate
             # chains persist across consecutive scans, so closures fire a
-            # few scans later at most)
+            # few scans later at most). Single-sensor case: dispatch the
+            # fused verify and DEFER the fetch to settle() so its device
+            # time overlaps the next batch's host accumulation
             if matching and self.mapper.config.do_loop_closing:
-                with stage_timer(stats, "loop_closure"):
-                    last_scan = self.pending[-1]
-                    for name in sm.sensor_names():
-                        if graph.try_close_loop(last_scan, name):
-                            any_closed = True
+                last_scan = self.pending[-1]
+                names = sm.sensor_names()
+                if len(names) == 1:
+                    with stage_timer(stats, "loop_closure"):
+                        handle = graph.try_close_loop_begin(
+                            last_scan, names[0]
+                        )
+                    if isinstance(handle, bool):
+                        any_closed |= handle
+                    else:
+                        self._deferred_loop = handle
+                else:
+                    with stage_timer(stats, "loop_closure"):
+                        for name in names:
+                            if graph.try_close_loop(last_scan, name):
+                                any_closed = True
         self.pending = []
         self._pending_dev = []
         self._chunk_np = []
@@ -757,6 +801,9 @@ class StreamingPipeline:
         # the device ring evolved with identical updates (same rule, same
         # fetched poses), so a resync is only needed when bookkeeping
         # moved poses (chain fusion, loop closure) — the common corridor
-        # case skips the full state re-upload
-        if poses_moved or any_closed or buffer_changed:
+        # case skips the full state re-upload. With a deferred loop
+        # closure in flight the decision moves to settle()
+        if self._deferred_loop is not None:
+            self._post_drain_flags = (poses_moved, buffer_changed)
+        elif poses_moved or any_closed or buffer_changed:
             self.refresh_state()
