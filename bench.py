@@ -44,12 +44,15 @@ def make_workload():
     sim = LidarSimulator(
         world, laser, range_noise=0.01, odom_noise=(0.015, 0.006), seed=42
     )
-    waypoints = np.array([
+    # 16 laps ≈ 2,030 accepted scans / ≥10 drains at the default cadence:
+    # the measure pass covers enough steady state that one slow tunnel
+    # fetch cannot swing the headline (run-to-run spread <10%)
+    lap = [
         (-6.0, -3.5), (1.5, -3.5), (5.5, -3.5), (5.5, 0.5), (5.5, 3.5),
-        (1.0, 3.5), (-3.0, 3.5), (-6.0, 3.0), (-6.5, -1.0), (-6.0, -3.5),
-        (1.5, -3.5), (5.5, -3.5), (5.5, 0.5), (5.5, 3.5),
-        (1.0, 3.5), (-3.0, 3.5), (-6.0, 3.0), (-6.5, -1.0), (-6.0, -3.5),
-    ])
+        (1.0, 3.5), (-3.0, 3.5), (-6.0, 3.0), (-6.5, -1.0),
+    ]
+    n_laps = int(os.environ.get("BENCH_LAPS", "16"))
+    waypoints = np.array(lap * n_laps + [lap[0]])
     data = sim.simulate(waypoints, step=0.3)
 
     cfg = MapperConfig(

@@ -130,8 +130,9 @@ class SlamSession:
         )
         if not streaming_path and self._pipe is not None:
             # mode switch (relocalize / dock / initial pose): the classic
-            # path must see fully drained bookkeeping
+            # path must see fully drained + settled bookkeeping
             self._pipe.drain()
+            self._pipe.settle()
         if pt == ProcessType.PROCESS and self.streaming:
             self._ensure_pipe()
             ok = self._pipe.process_scan(scan)

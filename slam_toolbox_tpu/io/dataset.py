@@ -185,9 +185,30 @@ def trajectory_from_waypoints(waypoints: np.ndarray, step: float):
     return poses
 
 
-def ate_rmse(estimated: np.ndarray, ground_truth: np.ndarray) -> float:
-    """Absolute trajectory error (RMSE of xy) after SE(2) alignment of the
-    first pose (adequate for same-frame comparisons)."""
-    est = np.asarray(estimated)[:, :2]
-    gt = np.asarray(ground_truth)[:, :2]
-    return float(np.sqrt(np.mean(np.sum((est - gt) ** 2, axis=1))))
+def ate_rmse(
+    estimated: np.ndarray, ground_truth: np.ndarray, align: bool = False
+) -> float:
+    """Absolute trajectory error: RMSE of xy distance per pose.
+
+    By default the trajectories are compared in the frame they come in
+    (adequate for this package's same-frame synthetic benches, where both
+    start at the identical pose). With align=True the estimate is first
+    rigidly moved so its initial SE(2) pose coincides with the ground
+    truth's — use that when comparing trajectories expressed in different
+    frames."""
+    est = np.asarray(estimated, dtype=np.float64)
+    gt = np.asarray(ground_truth, dtype=np.float64)
+    if align:
+        # T = gt0 ∘ est0⁻¹ applied to every estimated position
+        dh = gt[0, 2] - est[0, 2]
+        c, s = np.cos(dh), np.sin(dh)
+        xy = est[:, :2] - est[0, :2]
+        est = np.stack(
+            [
+                gt[0, 0] + c * xy[:, 0] - s * xy[:, 1],
+                gt[0, 1] + s * xy[:, 0] + c * xy[:, 1],
+            ],
+            axis=1,
+        )
+    d = est[:, :2] - gt[:, :2]
+    return float(np.sqrt(np.mean(np.sum(d * d, axis=1))))

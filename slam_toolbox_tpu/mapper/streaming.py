@@ -20,7 +20,8 @@ the TPU-native latency-hiding design (BASELINE.json north star).
 """
 from __future__ import annotations
 
-from typing import List
+import weakref
+from typing import Dict, List
 
 import jax
 import jax.numpy as jnp
@@ -36,6 +37,29 @@ RESULT_CAP = 256
 import os as _os
 
 UPLOAD_CHUNK = int(_os.environ.get("SLAM_UPLOAD_CHUNK", "16"))
+# pipelined drains (double-buffering): drain(k) dispatches batch k's
+# device program FIRST and then runs batch k-1's host bookkeeping while
+# batch k executes — the batch program's device time (~2.3 ms/scan) hides
+# behind graph bookkeeping + the next accumulation instead of serializing
+# into drain_fetch. Set SLAM_STREAM_PIPELINE=0 for the serial path.
+PIPELINED = _os.environ.get("SLAM_STREAM_PIPELINE", "1") != "0"
+
+
+class _PendingDrain:
+    """One dispatched-but-uncommitted batch (pipelined drains)."""
+
+    __slots__ = ("scans", "packs", "odoms", "start", "results",
+                 "spec", "pred_chains", "spec_offsets")
+
+    def __init__(self, scans, packs, odoms, start, results):
+        self.scans = scans
+        self.packs = packs        # (N, B, 8) device array (for redispatch)
+        self.odoms = odoms        # (N, 3) device array
+        self.start = start        # first result-ring row of this batch
+        self.results = results    # the state's result ring after dispatch
+        self.spec = None          # in-flight speculative chain-match echo
+        self.pred_chains = None
+        self.spec_offsets = {}
 
 
 def _unpack_scan(pack):
@@ -201,7 +225,9 @@ def _stream_update_impl(
     new_state["last_odom"] = odom
     new_state["last_corrected"] = corrected
 
-    ridx = state["n_results"] % RESULT_CAP
+    # the ring size is the array's static shape (pipelined drains size it
+    # max(RESULT_CAP, 2*drain_every) so two in-flight batches never alias)
+    ridx = state["n_results"] % state["results"].shape[0]
     new_state["results"] = state["results"].at[ridx].set(out13)
     new_state["n_results"] = state["n_results"] + 1
     return new_state
@@ -298,9 +324,12 @@ class PackPool:
     verification, chain matching) gather whole chains by slot index
     instead of re-uploading ~34 KB per chain scan through the tunnel on
     every loop event. Row 0 is reserved as a zero row (the pad target),
-    so valid slots start at 1. Slots are append-only; removed scans just
-    leave stale rows (34 KB each — revisit with a free list if lifelong
-    sessions at the 10^5-scan scale need it).
+    so valid slots start at 1. Appends stay contiguous (one
+    dynamic_update_slice per batch); removed scans release() their slot
+    and a whole-pool compaction (single device row-gather) reclaims the
+    space when freed rows would otherwise force a growth — so lifelong /
+    localization sessions hold ~2x the LIVE scan count, not the
+    all-time count.
     """
 
     def __init__(self, n_beams: int, cap: int = 2048):
@@ -308,6 +337,39 @@ class PackPool:
         self.cap = cap
         self.n = 1  # row 0 = zeros
         self.buf = jnp.zeros((cap, n_beams, 8), jnp.float32)
+        self._owners: Dict[int, object] = {}   # slot -> weakref(scan)
+        self._freed = 0
+
+    def release(self, scan) -> None:
+        """Mark a removed scan's slot reusable (O(1); the row is
+        reclaimed at the next compaction)."""
+        slot = getattr(scan, "_pool_slot", None)
+        if slot is None:
+            return
+        scan._pool_slot = None
+        if self._owners.pop(slot, None) is not None:
+            self._freed += 1
+
+    def _compact(self) -> None:
+        """Gather live rows to the front of the pool (ONE device row
+        gather — rows are 34 KB contiguous slices, so this is
+        bandwidth-bound, not the scalar-gather pathology) and renumber
+        the owners' slots."""
+        live = []
+        for slot in sorted(self._owners):
+            s = self._owners[slot]()
+            if s is not None:
+                live.append((slot, s))
+        idx = np.zeros(self.cap, np.int32)   # row 0 stays the zero row
+        new_owners = {}
+        for j, (slot, s) in enumerate(live, start=1):
+            idx[j] = slot
+            s._pool_slot = j
+            new_owners[j] = weakref.ref(s)
+        self.buf = jnp.take(self.buf, jnp.asarray(idx), axis=0)
+        self._owners = new_owners
+        self.n = 1 + len(live)
+        self._freed = 0
 
     def append_batch(self, packs, scans) -> None:
         """packs: (N, B, 8) device array whose first len(scans) rows are
@@ -316,6 +378,9 @@ class PackPool:
         n = len(scans)
         if n == 0:
             return
+        if (self.n + packs.shape[0] > self.cap
+                and self._freed >= self.cap // 2):
+            self._compact()
         while self.n + packs.shape[0] > self.cap:
             self.cap *= 2
             self.buf = jax.lax.dynamic_update_slice(
@@ -328,7 +393,8 @@ class PackPool:
         for i, s in enumerate(scans):
             try:
                 s._pool_slot = self.n + i
-            except AttributeError:
+                self._owners[self.n + i] = weakref.ref(s)
+            except (AttributeError, TypeError):
                 pass
         self.n += n
 
@@ -392,17 +458,24 @@ class StreamingPipeline:
         self.post_finish = None
         self._pending_dev = []   # uploaded 16-scan chunk arrays
         self._chunk_np = []      # host packs awaiting the next chunk
-        # deferred loop closure: the drain dispatches the fused verify
-        # program and returns without waiting; settle() (called at the
-        # start of the next drain, or by flush/graph accessors) fetches
-        # the rows and applies the closure BEFORE any later bookkeeping,
-        # so the verify's device time hides behind host-side accumulation
-        # with bit-identical results. Between drain and settle the online
-        # pose misses the (rare) closure correction by one accumulation
-        # window — an extension of the documented between-drain
-        # approximation.
+        # deferred loop closure: the commit dispatches the fused verify
+        # program and returns without waiting; the NEXT commit (or a
+        # terminal settle()) fetches the rows and applies the closure
+        # BEFORE any later bookkeeping, so the verify's device time hides
+        # behind the next batch's accumulation with identical results.
         self._deferred_loop = None
-        self._post_drain_flags = (False, False)
+        self.pipelined = PIPELINED
+        # with two batches in flight the result ring must hold both spans
+        self.result_cap = max(RESULT_CAP, 2 * self.drain_every)
+        # the dispatched-but-uncommitted batch (pipelined mode)
+        self._pending_drain = None
+        # host poses moved relative to the device state: the next consumer
+        # of device results must refresh_state() (+ redispatch in-flight
+        # batches) first
+        self._needs_resync = False
+        # bumped by refresh_state: lets drain() detect that the device
+        # chain its freshly dispatched batch rode was rebuilt mid-commit
+        self._state_epoch = 0
         self.pack_pool = PackPool(self.B)
         mapper._pack_pool = self.pack_pool  # loop verify gathers from it
         # seed with any pre-existing scans (deserialized prior graphs):
@@ -429,7 +502,7 @@ class StreamingPipeline:
             "count": jnp.int32(0),
             "last_odom": jnp.zeros(3, jnp.float32),
             "last_corrected": jnp.zeros(3, jnp.float32),
-            "results": jnp.zeros((RESULT_CAP, 13), jnp.float32),
+            "results": jnp.zeros((self.result_cap, 13), jnp.float32),
             "n_results": jnp.int32(0),
         }
         out = self._run_batch(
@@ -464,7 +537,7 @@ class StreamingPipeline:
             "count": np.int32(len(running)),
             "last_odom": np.zeros(3, np.float32),
             "last_corrected": np.zeros(3, np.float32),
-            "results": np.zeros((RESULT_CAP, 13), np.float32),
+            "results": np.zeros((self.result_cap, 13), np.float32),
             "n_results": np.int32(0),
         }
         for i, s in enumerate(running[-K:]):
@@ -483,6 +556,7 @@ class StreamingPipeline:
             st["last_corrected"] = last.corrected_pose.astype(np.float32)
         self.state = {k: jnp.asarray(v) for k, v in st.items()}
         self._dispatched_since_refresh = 0
+        self._state_epoch += 1
 
     # -- ingestion ----------------------------------------------------------
     def process_scan(self, scan) -> bool:
@@ -507,10 +581,11 @@ class StreamingPipeline:
             )
             self._chunk_np = []
         self._last_gate_scan = scan
-        # the ring only needs to hold results not yet consumed — i.e. the
-        # pending batch; consumed slots are safely overwritten (the fetch
-        # indexes modulo RESULT_CAP)
-        if len(self.pending) >= min(self.drain_every, RESULT_CAP - 1):
+        # the ring only needs to hold results not yet consumed — the
+        # pending batch plus (pipelined) the previous in-flight batch;
+        # result_cap is sized for both, consumed slots are overwritten
+        # (the fetch indexes modulo result_cap)
+        if len(self.pending) >= min(self.drain_every, self.result_cap // 2):
             self.drain()
         return True
 
@@ -542,12 +617,14 @@ class StreamingPipeline:
             parts.append(jnp.zeros((N - n, B, 8), jnp.float32))
         packs = parts[0] if len(parts) == 1 else jnp.concatenate(parts, 0)
         self.pack_pool.append_batch(packs, scans)
+        odoms_dev = jnp.asarray(odoms)
         self.state = self._run_batch(
-            self.state, packs, jnp.asarray(odoms), jnp.int32(n),
+            self.state, packs, odoms_dev, jnp.int32(n),
         )
         self._pending_dev = []
         self._chunk_np = []
         self._dispatched_since_refresh += n
+        return packs, odoms_dev
 
     def _run_batch(self, state, packs, odoms, n_valid):
         return _stream_batch_jit(
@@ -557,68 +634,232 @@ class StreamingPipeline:
         )
 
     def settle(self) -> None:
-        """Complete a deferred loop closure from the previous drain: fetch
-        the in-flight verify rows, apply gates/link/optimize, and resync
-        the device state if anything moved. Runs before the next drain's
-        bookkeeping (and on flush / graph accessors), so results are
-        identical to the blocking path."""
-        if self._deferred_loop is None:
+        """Terminal completion: commit every dispatched-but-uncommitted
+        batch and any deferred loop closure, then resync the device state
+        if host bookkeeping moved poses. After settle() all drained scans
+        carry their final poses (flush / graph accessors rely on this);
+        scans still accumulating in `pending` are untouched (drain()
+        dispatches those)."""
+        while (self._pending_drain is not None
+               or self._deferred_loop is not None):
+            self._commit()
+        if self._needs_resync:
+            self.refresh_state()
+            self._needs_resync = False
+
+    def drain(self) -> None:
+        """Dispatch the pending batch as one device program. Pipelined
+        (default): the dispatch happens FIRST, then the PREVIOUS batch's
+        host bookkeeping runs while this batch executes on device — its
+        own bookkeeping runs at the next drain (or settle()). When the
+        previous commit moved poses (loop closure, chain fusion touching
+        the running window, buffer eviction) the in-flight batch is
+        re-run from the refreshed state before its results are read, so
+        drained poses are identical to the serial path. Serial mode
+        (SLAM_STREAM_PIPELINE=0) fetches and commits inline. With
+        drain_every=1 the commit sequence is exactly the classic per-scan
+        path (tested equivalence)."""
+        if not self.pipelined:
+            self.settle()
+            if not self.pending:
+                return
+            scans = self.pending
+            self.pending = []
+            self._drain_serial(scans)
             return
+        if not self.pending:
+            return
+        scans = self.pending
+        n = len(scans)
+        self.pending = []
+        packs, odoms = self._dispatch_batch(scans)
+        pd = _PendingDrain(
+            scans, packs, odoms,
+            start=self._dispatched_since_refresh - n,
+            results=self.state["results"],
+        )
+        # gate the next accumulation against the newest DISPATCHED scan
+        # (its host bookkeeping hasn't run yet, so sm.last_scan is stale)
+        self._last_gate_scan = scans[-1]
+        epoch0 = self._state_epoch
+        self._commit()  # previous batch's bookkeeping; overlaps device
+        if self._needs_resync:
+            self.refresh_state()
+            self._needs_resync = False
+        if self._state_epoch != epoch0:
+            # the device chain this batch rode was rebuilt mid-commit:
+            # re-run it from the authoritative state
+            self.state = self._run_batch(
+                self.state, pd.packs, pd.odoms, jnp.int32(n)
+            )
+            pd.start = self._dispatched_since_refresh
+            self._dispatched_since_refresh += n
+            pd.results = self.state["results"]
+        self._dispatch_spec(pd)
+        self._pending_drain = pd
+
+    def _dispatch_spec(self, pd) -> None:
+        """Speculative near-chain dispatch: predict each scan's chains
+        from odometry-propagated poses (graph.predict_near_chains) and
+        run the whole batch's chain matches back-to-back with the batch
+        program — their rows ride the SAME fetch (echo program). The
+        commit validates membership per scan and redispatches on
+        mismatch, so results are bit-identical either way (~88% per-scan
+        hit rate measured on the warehouse localization config)."""
+        if len(pd.scans) <= 1 or not self.mapper.config.use_scan_matching:
+            return
+        anchor = self.mapper.sensor_manager.get_last_scan(
+            pd.scans[0].laser.name
+        )
+        if anchor is None:
+            return
+        from slam_toolbox_tpu.kernels import loop_verify as lv
+
+        pred_chains = self.mapper.graph.predict_near_chains(
+            pd.scans, anchor
+        )
+        spairs = []
+        spec_offsets = {}
+        cap = self.result_cap
+        for i, chains in enumerate(pred_chains):
+            if not chains:
+                continue
+            spec_offsets[i] = (len(spairs), len(chains))
+            spairs.extend(
+                (pd.scans[i], (pd.start + i) % cap, c) for c in chains
+            )
+        if spairs:
+            pd.spec = lv.dispatch_chain_matches_spec(
+                self.matcher, spairs, self.pack_pool, pd.results
+            )
+            if pd.spec is not None:
+                pd.pred_chains = pred_chains
+                pd.spec_offsets = spec_offsets
+
+    def _settle_deferred(self) -> bool:
+        """Finish the deferred loop closure dispatched by the previous
+        commit. A closure flags _needs_resync (the flag survives a fetch
+        exception, so a transient tunnel error cannot strand the device
+        ring stale relative to host poses)."""
+        if self._deferred_loop is None:
+            return False
         from slam_toolbox_tpu.utils.metrics import stage_timer
 
         handle = self._deferred_loop
         self._deferred_loop = None
-        poses_moved, buffer_changed = self._post_drain_flags
-        self._post_drain_flags = (False, False)
-        with stage_timer(self.mapper.stats, "loop_closure"):
-            any_closed = self.mapper.graph.try_close_loop_finish(handle)
-        if poses_moved or any_closed or buffer_changed:
-            self.refresh_state()
+        any_closed = False
+        try:
+            with stage_timer(self.mapper.stats, "loop_closure_settle"):
+                any_closed = self.mapper.graph.try_close_loop_finish(
+                    handle
+                )
+        finally:
+            if any_closed:
+                self._needs_resync = True
+        return any_closed
 
-    def drain(self) -> None:
-        """Fetch pending results and replay standard graph bookkeeping in
-        two phases (host links + async near-chain dispatch, then one
-        batched wait + link/fuse), with one loop-closure attempt on the
-        newest scan. With drain_every=1 the sequence is exactly the classic
-        per-scan path (tested equivalence)."""
-        self.settle()
-        if not self.pending:
+    def _commit(self) -> None:
+        """Host bookkeeping for the oldest in-flight batch: settle the
+        previous commit's deferred loop closure, re-run the batch if that
+        closure (or an earlier flagged change) moved host poses after the
+        batch's program ran, then fetch its results and replay the
+        standard graph bookkeeping."""
+        self._settle_deferred()
+        pd = self._pending_drain
+        self._pending_drain = None
+        if pd is None:
+            if self._needs_resync and self.state is not None:
+                self.refresh_state()
+                self._needs_resync = False
             return
+        from slam_toolbox_tpu.utils.metrics import stage_timer
+
+        n = len(pd.scans)
+        if self._needs_resync:
+            self.refresh_state()
+            self._needs_resync = False
+            self.state = self._run_batch(
+                self.state, pd.packs, pd.odoms, jnp.int32(n)
+            )
+            pd.start = 0
+            self._dispatched_since_refresh = n
+            pd.results = self.state["results"]
+            pd.spec = None
+            pd.pred_chains = None
+            pd.spec_offsets = {}
+        cap = self.result_cap
+        with stage_timer(self.mapper.stats, "drain_fetch"):
+            if pd.spec is not None:
+                pd.spec.block_until_ready()
+                comb = np.asarray(pd.spec, np.float64)
+                res_np = comb[:cap]
+                spec_np = comb[cap:]
+            else:
+                pd.results.block_until_ready()
+                res_np = np.asarray(pd.results, np.float64)
+                spec_np = None
+        moved_uids, any_closed, buffer_changed = self._bookkeep(
+            pd.scans, pd.start, res_np, spec_np,
+            pd.pred_chains, pd.spec_offsets,
+        )
+        self._flag_resync(pd.scans, moved_uids, any_closed, buffer_changed)
+
+    def _flag_resync(self, scans, moved_uids, any_closed, buffer_changed):
+        """Decide whether host bookkeeping diverged from the device ring.
+        Closures and buffer edits always do. Chain fusion only matters
+        when a moved scan is still in the running window (= mirrored by
+        the device ring) or is the propagation anchor (the last scan) —
+        movers already evicted from the running buffer left the ring the
+        same way on device, so a rebuild would reproduce the current
+        state."""
+        if any_closed or buffer_changed:
+            self._needs_resync = True
+            return
+        if not moved_uids:
+            return
+        sm = self.mapper.sensor_manager
+        name = scans[-1].laser.name
+        last = sm.get_last_scan(name)
+        if last is not None and last.unique_id in moved_uids:
+            self._needs_resync = True
+            return
+        running = {
+            s.unique_id for s in sm.get_running_scans(name)
+        }
+        if moved_uids & running:
+            self._needs_resync = True
+
+    def _drain_serial(self, scans) -> None:
+        """Serial drain (SLAM_STREAM_PIPELINE=0): dispatch, fetch, and
+        commit inline — the round-1 behavior, kept for A/B timing."""
         from slam_toolbox_tpu.kernels import loop_verify as lv
         from slam_toolbox_tpu.utils.metrics import stage_timer
 
         stats = self.mapper.stats
-        n = len(self.pending)
+        n = len(scans)
         matching = self.mapper.config.use_scan_matching
         anchor = self.mapper.sensor_manager.get_last_scan(
-            self.pending[0].laser.name
+            scans[0].laser.name
         )
-        self._dispatch_batch(self.pending)
+        self._dispatch_batch(scans)
         results = self.state["results"]
         start = self._dispatched_since_refresh - n
-        # speculative near-chain dispatch: predict each scan's chains from
-        # odometry-propagated poses (graph.predict_near_chains) and run
-        # the whole batch's chain matches back-to-back with the batch
-        # program — their rows ride the SAME fetch (echo program). Phase 2
-        # validates membership per scan and redispatches on mismatch, so
-        # results are bit-identical either way (~88% per-scan hit rate
-        # measured on the warehouse localization config).
+        self._last_gate_scan = None
+        cap = self.result_cap
         spec = None
         pred_chains = None
         spec_offsets = {}
         if n > 1 and matching and anchor is not None:
             pred_chains = self.mapper.graph.predict_near_chains(
-                self.pending, anchor
+                scans, anchor
             )
             spairs = []
-            for i, (scan, chains) in enumerate(
-                zip(self.pending, pred_chains)
-            ):
+            for i, chains in enumerate(pred_chains):
                 if not chains:
                     continue
                 spec_offsets[i] = (len(spairs), len(chains))
                 spairs.extend(
-                    (scan, (start + i) % RESULT_CAP, c) for c in chains
+                    (scans[i], (start + i) % cap, c) for c in chains
                 )
             if spairs:
                 spec = lv.dispatch_chain_matches_spec(
@@ -628,19 +869,46 @@ class StreamingPipeline:
             if spec is not None:
                 spec.block_until_ready()
                 comb = np.asarray(spec, np.float64)
-                res_np = comb[:RESULT_CAP]
-                spec_np = comb[RESULT_CAP:]
+                res_np = comb[:cap]
+                spec_np = comb[cap:]
             else:
                 results.block_until_ready()
                 res_np = np.asarray(results, np.float64)
                 spec_np = None
-        poses_moved = False
+        moved_uids, any_closed, buffer_changed = self._bookkeep(
+            scans, start, res_np, spec_np, pred_chains, spec_offsets
+        )
+        # the device ring evolved with identical updates (same rule, same
+        # fetched poses), so a resync is only needed when bookkeeping
+        # moved poses (chain fusion, loop closure) — the common corridor
+        # case skips the full state re-upload. With a deferred loop
+        # closure in flight the decision moves to the next settle.
+        if moved_uids or any_closed or buffer_changed:
+            self._needs_resync = True
+        if self._deferred_loop is None and self._needs_resync:
+            self.refresh_state()
+            self._needs_resync = False
+
+    def _bookkeep(self, scans, start, res_np, spec_np, pred_chains,
+                  spec_offsets):
+        """Replay standard graph bookkeeping for a fetched batch in two
+        phases (host links + async near-chain dispatch, then one batched
+        wait + link/fuse), with one loop-closure attempt on the newest
+        scan. Returns (moved_uids, any_closed, buffer_changed)."""
+        from slam_toolbox_tpu.kernels import loop_verify as lv
+        from slam_toolbox_tpu.utils.metrics import stage_timer
+
+        stats = self.mapper.stats
+        n = len(scans)
+        cap = self.result_cap
+        matching = self.mapper.config.use_scan_matching
+        moved_uids = set()
         any_closed = False
         sm = self.mapper.sensor_manager
         graph = self.mapper.graph
 
         def set_poses(i, scan):
-            packed = res_np[(start + i) % RESULT_CAP]
+            packed = res_np[(start + i) % cap]
             response = packed[0]
             mean = packed[1:4]
             cov = packed[4:13].reshape(3, 3)
@@ -661,13 +929,12 @@ class StreamingPipeline:
         buffer_changed = False
         if n == 1:
             # single-scan drain: exactly the classic per-scan sequence
-            scan = self.pending[0]
+            scan = scans[0]
             cov = set_poses(0, scan)
             pose_before = scan.corrected_pose.copy()
             any_closed = self.mapper.finish_scan(scan, cov)
-            poses_moved = bool(
-                np.any(np.abs(scan.corrected_pose - pose_before) > 1e-7)
-            )
+            if np.any(np.abs(scan.corrected_pose - pose_before) > 1e-7):
+                moved_uids.add(scan.unique_id)
             if self.post_finish is not None:
                 buffer_changed = bool(self.post_finish(scan))
         else:
@@ -680,7 +947,7 @@ class StreamingPipeline:
             # here (mm-scale difference at the eviction boundary only) —
             # part of the documented between-drain approximation.
             staged = []
-            for i, scan in enumerate(self.pending):
+            for i, scan in enumerate(scans):
                 cov = set_poses(i, scan)
                 sm.add_scan(scan)
                 pf = None
@@ -719,7 +986,7 @@ class StreamingPipeline:
                     ]
                     hit = (
                         pred_ids == actual_ids
-                        and res_np[(start + i) % RESULT_CAP][0] > 0.0
+                        and res_np[(start + i) % cap][0] > 0.0
                     )
                 if hit:
                     plan.append(("spec", off, cnt))
@@ -769,16 +1036,17 @@ class StreamingPipeline:
                 with stage_timer(stats, "graph_edges"):
                     graph.add_edges_finish(scan, pf, results=res_i)
                 if np.any(np.abs(scan.corrected_pose - pose_before) > 1e-7):
-                    poses_moved = True  # near-chain fusion moved this scan
+                    # near-chain fusion moved this scan
+                    moved_uids.add(scan.unique_id)
                 if self.post_finish is not None:
                     buffer_changed |= bool(self.post_finish(scan))
             # loop closure once per batch on the newest scan (candidate
             # chains persist across consecutive scans, so closures fire a
             # few scans later at most). Single-sensor case: dispatch the
-            # fused verify and DEFER the fetch to settle() so its device
-            # time overlaps the next batch's host accumulation
+            # fused verify and DEFER the fetch to the next commit/settle
+            # so its device time overlaps later accumulation
             if matching and self.mapper.config.do_loop_closing:
-                last_scan = self.pending[-1]
+                last_scan = scans[-1]
                 names = sm.sensor_names()
                 if len(names) == 1:
                     with stage_timer(stats, "loop_closure"):
@@ -794,16 +1062,4 @@ class StreamingPipeline:
                         for name in names:
                             if graph.try_close_loop(last_scan, name):
                                 any_closed = True
-        self.pending = []
-        self._pending_dev = []
-        self._chunk_np = []
-        self._last_gate_scan = None
-        # the device ring evolved with identical updates (same rule, same
-        # fetched poses), so a resync is only needed when bookkeeping
-        # moved poses (chain fusion, loop closure) — the common corridor
-        # case skips the full state re-upload. With a deferred loop
-        # closure in flight the decision moves to settle()
-        if self._deferred_loop is not None:
-            self._post_drain_flags = (poses_moved, buffer_changed)
-        elif poses_moved or any_closed or buffer_changed:
-            self.refresh_state()
+        return moved_uids, any_closed, buffer_changed

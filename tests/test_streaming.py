@@ -41,6 +41,7 @@ def run_streaming(laser, cfg, data, drain_every):
         if pipe.process_scan(s):
             accepted.append((s, tp))
     pipe.drain()
+    pipe.settle()
     return [(s.corrected_pose.copy(), tp) for s, tp in accepted]
 
 
@@ -97,6 +98,7 @@ def test_speculative_chain_match_engages_and_matches_classic(dataset):
         if pipe.process_scan(s):
             accepted.append((s, tp))
     pipe.drain()
+    pipe.settle()
     hits = mapper.stats.counts.get("spec_chain_hit", 0)
     misses = mapper.stats.counts.get("spec_chain_miss", 0)
     assert hits + misses > 0, "speculation never engaged"
@@ -116,5 +118,6 @@ def test_streaming_graph_complete(dataset):
         if pipe.process_scan(s):
             n += 1
     pipe.drain()
+    pipe.settle()
     assert mapper.solver.n_nodes == n
     assert len(mapper.graph.edges) >= n - 1
