@@ -122,6 +122,69 @@ ONLINE_SYNC = MapperConfig(
 )
 
 LOCALIZATION = ONLINE_SYNC.replace(
-    scan_buffer_size=10,
+    # mapper_params_localization.yaml:37,42 — a short elastic buffer and
+    # a short chain requirement (the rolling window is only 3 scans)
+    scan_buffer_size=3,
+    loop_match_minimum_chain_size=3,
     minimum_travel_distance=0.5,
 )
+
+# mapper_params_online_async.yaml: mapper parameters are IDENTICAL to the
+# sync preset — the async-ness is the queue policy (api.queue_modes
+# AsyncPolicy), not a tuning change
+ONLINE_ASYNC = ONLINE_SYNC
+
+# mapper_params_offline.yaml: identical mapper parameters; the deltas are
+# node-level (map_update_interval 10 s, a 4 h tf buffer) — see
+# SessionPreset below
+OFFLINE = ONLINE_SYNC
+
+# mapper_params_lifelong.yaml:19-29 — sync mapper params + decay tuning
+# (LifelongConfig lives in mapper/lifelong.py; the yaml overrides
+# lifelong_node_removal_score from the code default 0.10 to 0.04)
+LIFELONG = ONLINE_SYNC
+
+
+@dataclass(frozen=True)
+class SessionPreset:
+    """Node-level knobs from config/mapper_params_*.yaml that live in the
+    session layer (SlamSession / queue modes), not the Mapper — plus the
+    mapper preset they pair with."""
+
+    mapper: MapperConfig
+    mode: str = "mapping"            # yaml `mode:` (mapping|localization)
+    queue: str = "sync"              # sync|async node variant
+    throttle_scans: int = 1
+    map_update_interval: float = 5.0
+    enable_interactive_mode: bool = True
+    lifelong_node_removal_score: float | None = None
+
+    def session_kwargs(self) -> dict:
+        """kwargs for SlamSession(...)."""
+        return {"throttle_scans": self.throttle_scans}
+
+
+PRESETS = {
+    "online_sync": SessionPreset(ONLINE_SYNC),
+    "online_async": SessionPreset(ONLINE_ASYNC, queue="async"),
+    "offline": SessionPreset(
+        OFFLINE, map_update_interval=10.0, enable_interactive_mode=True
+    ),
+    "lifelong": SessionPreset(
+        LIFELONG, enable_interactive_mode=False,
+        lifelong_node_removal_score=0.04,
+    ),
+    "localization": SessionPreset(
+        LOCALIZATION, mode="localization", enable_interactive_mode=False
+    ),
+}
+
+
+def preset(name: str) -> SessionPreset:
+    """Look up a mapper_params_<name>.yaml-equivalent preset."""
+    try:
+        return PRESETS[name]
+    except KeyError:
+        raise KeyError(
+            f"unknown preset {name!r}; choose from {sorted(PRESETS)}"
+        ) from None

@@ -20,7 +20,7 @@ class Edge:
     """Graph edge with LinkInfo label (Mapper.h:174-188): relative pose of
     target in the source frame plus covariance rotated into that frame."""
 
-    __slots__ = ("source", "target", "rel_pose", "covariance")
+    __slots__ = ("source", "target", "rel_pose", "covariance", "_list_idx")
 
     def __init__(self, source, target, mean_sensor_pose, covariance):
         self.source = source
@@ -200,7 +200,7 @@ class PoseGraph:
         if self._find_edge(from_scan, to_scan) is not None:
             return
         e = Edge(from_scan, to_scan, mean_sensor_pose, covariance)
-        self.edges.append(e)
+        self._append_edge(e)
         self.adjacency.setdefault(from_scan.unique_id, []).append(e)
         self.adjacency.setdefault(to_scan.unique_id, []).append(e)
         self._bump()
@@ -212,6 +212,29 @@ class PoseGraph:
                 e.rel_pose, e.covariance,
             )
 
+    def _append_edge(self, e) -> None:
+        """Append to the edge list, recording the position for O(1)
+        swap-with-last removal (localization evicts one node per scan;
+        list.remove here is O(E) per edge — quadratic at the BASELINE
+        config-4 scale. Reference intent: ceres_solver.cpp:183-186)."""
+        e._list_idx = len(self.edges)
+        self.edges.append(e)
+
+    def _remove_edge(self, e) -> None:
+        idx = getattr(e, "_list_idx", None)
+        if idx is None or idx >= len(self.edges) or self.edges[idx] is not e:
+            # edge appended by out-of-band code (older snapshots): fall
+            # back to the linear scan once, then indices are consistent
+            try:
+                idx = self.edges.index(e)
+            except ValueError:
+                return
+        last = self.edges[-1]
+        self.edges[idx] = last
+        last._list_idx = idx
+        self.edges.pop()
+        e._list_idx = None
+
     def remove_vertex(self, scan) -> bool:
         """RemoveNodeFromGraph (Mapper.cpp:2964-3021): drop incident edges
         from graph + solver, then the vertex itself."""
@@ -219,10 +242,10 @@ class PoseGraph:
         incident = list(self.adjacency.get(uid, []))
         for e in incident:
             other = e.target if e.source is scan else e.source
-            if e in self.adjacency.get(other.unique_id, []):
-                self.adjacency[other.unique_id].remove(e)
-            if e in self.edges:
-                self.edges.remove(e)
+            adj = self.adjacency.get(other.unique_id, [])
+            if e in adj:  # O(deg), small
+                adj.remove(e)
+            self._remove_edge(e)
             if self.mapper.solver is not None:
                 self.mapper.solver.remove_constraint(
                     e.source.unique_id, e.target.unique_id
@@ -815,6 +838,14 @@ class PoseGraph:
 
             passing = []
             for chain, coarse in zip(chains, coarse_results):
+                if self.mapper.event_listeners:
+                    self.mapper.fire_loop_closure_check(
+                        f"COARSE RESPONSE: {coarse.response} "
+                        f"(> {cfg.loop_match_minimum_response_coarse})\n"
+                        f"            var: {coarse.covariance[0, 0]},  "
+                        f"{coarse.covariance[1, 1]} "
+                        f"(< {cfg.loop_match_maximum_variance_coarse})"
+                    )
                 if (
                     coarse.response > cfg.loop_match_minimum_response_coarse
                     and coarse.covariance[0, 0]
@@ -857,6 +888,11 @@ class PoseGraph:
                             )
             closed_this_round = False
             for (chain, coarse), fine in zip(passing, fine_results):
+                if self.mapper.event_listeners:
+                    self.mapper.fire_loop_closure_check(
+                        f"FINE RESPONSE: {fine.response} "
+                        f"(>{cfg.loop_match_minimum_response_fine})"
+                    )
                 if fine.response >= cfg.loop_match_minimum_response_fine:
                     self.mapper.fire_loop_closure("Closing loop...")
                     scan.set_sensor_pose(fine.sensor_pose)
@@ -864,9 +900,12 @@ class PoseGraph:
                         chain, scan, fine.sensor_pose, fine.covariance
                     )
                     self.correct_poses()
+                    self.mapper.fire_end_loop_closure("Loop closed!")
                     closed = True
                     closed_this_round = True
                     break  # poses moved: re-sweep remaining candidates
+                else:
+                    self.mapper.fire_loop_closure_check("REJECTED!")
             if not closed_this_round:
                 return closed
 
@@ -901,6 +940,15 @@ class PoseGraph:
         from slam_toolbox_tpu.core.geometry import KT_TOLERANCE
 
         for chain, row in zip(chains, rows):
+            if self.mapper.event_listeners:
+                coarse = Matcher.results_from_packed(row[:13])[0]
+                self.mapper.fire_loop_closure_check(
+                    f"COARSE RESPONSE: {coarse.response} "
+                    f"(> {cfg.loop_match_minimum_response_coarse})\n"
+                    f"            var: {coarse.covariance[0, 0]},  "
+                    f"{coarse.covariance[1, 1]} "
+                    f"(< {cfg.loop_match_maximum_variance_coarse})"
+                )
             if row[26] <= 0.5:  # coarse response/variance gates
                 continue
             fine = Matcher.results_from_packed(row[13:26])[0]
@@ -919,6 +967,11 @@ class PoseGraph:
                 tmp.set_corrected_pose(scan.corrected_pose)
                 tmp.set_sensor_pose(coarse.sensor_pose)
                 fine = seq.match_scan(tmp, chain, penalize=False)
+            if self.mapper.event_listeners:
+                self.mapper.fire_loop_closure_check(
+                    f"FINE RESPONSE: {fine.response} "
+                    f"(>{cfg.loop_match_minimum_response_fine})"
+                )
             if fine.response >= cfg.loop_match_minimum_response_fine:
                 self.mapper.fire_loop_closure("Closing loop...")
                 scan.set_sensor_pose(fine.sensor_pose)
@@ -926,7 +979,9 @@ class PoseGraph:
                     chain, scan, fine.sensor_pose, fine.covariance
                 )
                 self.correct_poses()
+                self.mapper.fire_end_loop_closure("Loop closed!")
                 return True
+            self.mapper.fire_loop_closure_check("REJECTED!")
         return False
 
     def correct_poses(self) -> None:

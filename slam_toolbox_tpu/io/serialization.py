@@ -165,7 +165,7 @@ def load_snapshot(path: str, mapper=None):
         e.source, e.target = src, dst
         e.rel_pose = z["e_rel"][k].copy()
         e.covariance = z["e_cov"][k].copy()
-        mapper.graph.edges.append(e)
+        mapper.graph._append_edge(e)
         mapper.graph.adjacency.setdefault(src.unique_id, []).append(e)
         mapper.graph.adjacency.setdefault(dst.unique_id, []).append(e)
         mapper.solver.add_constraint(

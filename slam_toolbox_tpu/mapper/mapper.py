@@ -20,6 +20,30 @@ from slam_toolbox_tpu.mapper.scan_manager import MapperSensorManager
 from slam_toolbox_tpu.solver import PoseGraphSolver
 
 
+class MapperListener:
+    """Event listener base (MapperListener / MapperDebugListener /
+    MapperLoopClosureListener, Mapper.h:48-105). Subclass and override
+    any of the five hooks; attach via Mapper.add_listener. Message
+    strings follow the reference's wording (Mapper.cpp:1505-1561) so
+    drivers watching for "Closing loop..." / "Loop closed!" keep
+    working."""
+
+    def info(self, msg: str) -> None:
+        pass
+
+    def debug(self, msg: str) -> None:
+        pass
+
+    def loop_closure_check(self, msg: str) -> None:
+        pass
+
+    def begin_loop_closure(self, msg: str) -> None:
+        pass
+
+    def end_loop_closure(self, msg: str) -> None:
+        pass
+
+
 class Mapper:
     def __init__(self, config: Optional[MapperConfig] = None, solver=None):
         self.config = config or MapperConfig()
@@ -36,6 +60,7 @@ class Mapper:
         self.range_threshold: Optional[float] = None
         self.localization_buffer = deque()  # (scan,) LSV queue
         self.listeners: List[Callable[[str], None]] = []
+        self.event_listeners: List[MapperListener] = []
         # lifelong vertex scores (Vertex::m_Score, Mapper.h:303-315);
         # persisted with the snapshot so decay state survives sessions
         self.vertex_scores = {}
@@ -95,9 +120,41 @@ class Mapper:
         if self.solver is not None:
             self.solver.reset()
 
+    # -- events (FireInfo/FireDebug/FireLoopClosureCheck/FireBegin/
+    #    FireEndLoopClosure, Mapper.cpp:3180-3234). `listeners` keeps the
+    #    original plain-callable surface (called with begin-loop-closure
+    #    messages); `event_listeners` get the full typed stream.
+    def add_listener(self, listener: MapperListener) -> None:
+        self.event_listeners.append(listener)
+
+    def remove_listener(self, listener: MapperListener) -> None:
+        try:
+            self.event_listeners.remove(listener)
+        except ValueError:
+            pass
+
+    def fire_info(self, msg: str) -> None:
+        for ls in self.event_listeners:
+            ls.info(msg)
+
+    def fire_debug(self, msg: str) -> None:
+        for ls in self.event_listeners:
+            ls.debug(msg)
+
+    def fire_loop_closure_check(self, msg: str) -> None:
+        for ls in self.event_listeners:
+            ls.loop_closure_check(msg)
+
     def fire_loop_closure(self, msg: str) -> None:
+        """Begin-loop-closure event (legacy name kept for callers)."""
         for cb in self.listeners:
             cb(msg)
+        for ls in self.event_listeners:
+            ls.begin_loop_closure(msg)
+
+    def fire_end_loop_closure(self, msg: str) -> None:
+        for ls in self.event_listeners:
+            ls.end_loop_closure(msg)
 
     # -- gating (HasMovedEnough, Mapper.cpp:3110-3141) ----------------------
     def has_moved_enough(self, scan, last_scan) -> bool:
@@ -299,6 +356,9 @@ class Mapper:
     def remove_node_from_graph(self, scan) -> bool:
         ok = self.graph.remove_vertex(scan)
         self.sensor_manager.remove_scan(scan)
+        pool = getattr(self, "_pack_pool", None)
+        if pool is not None:
+            pool.release(scan)
         return ok
 
     # -- accessors ----------------------------------------------------------

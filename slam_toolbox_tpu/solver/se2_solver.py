@@ -492,6 +492,11 @@ class PoseGraphSolver:
         (ceres_solver.cpp:364-376)."""
         if id1 not in self._id_to_idx or id2 not in self._id_to_idx:
             return False
+        # the graph layer dedupes on the normal path, but merge /
+        # deserialize feed the solver directly: a reversed duplicate
+        # (id2,id1) would silently double-count the constraint
+        if (id2, id1) in self._edges:
+            return False
         info = np.linalg.inv(np.asarray(covariance, dtype=np.float64))
         info = 0.5 * (info + info.T)
         # matrixU of LLT: upper factor U with U^T U = info
@@ -503,13 +508,24 @@ class PoseGraphSolver:
         return True
 
     def remove_node(self, node_id: int) -> None:
-        if node_id not in self._id_to_idx:
+        """O(1) swap-with-last removal (the reference keeps Ceres
+        enable_fast_removal for the same reason, ceres_solver.cpp:183-186;
+        localization evicts one node per scan, so an O(n) reindex here is
+        quadratic against BASELINE config-4's 100k-node graphs). Index
+        order is not semantic: compute() maps ids through _id_to_idx and
+        the host-sparse path reorders internally (the device chain
+        preconditioner merely catches fewer consecutive-index edges after
+        removals, costing CG iterations, never correctness)."""
+        idx = self._id_to_idx.pop(node_id, None)
+        if idx is None:
             return
-        idx = self._id_to_idx.pop(node_id)
-        self._ids.pop(idx)
-        self._poses.pop(idx)
-        for i in range(idx, len(self._ids)):
-            self._id_to_idx[self._ids[i]] = i
+        last = len(self._ids) - 1
+        if idx != last:
+            self._ids[idx] = self._ids[last]
+            self._poses[idx] = self._poses[last]
+            self._id_to_idx[self._ids[idx]] = idx
+        self._ids.pop()
+        self._poses.pop()
         if node_id == self._first_id:
             self._first_id = self._ids[0] if self._ids else None
 
