@@ -47,9 +47,18 @@ class SyncQueue:
                 )
 
     def pump(self, max_items: Optional[int] = None) -> int:
-        """Process queued scans in order; returns number processed."""
+        """Process queued scans in order; returns number processed. While
+        the session's PROCESSING domain is paused the consumer idles but
+        scans keep queueing (slam_toolbox_sync.cpp:40)."""
+        from slam_toolbox_tpu.api.slam import PausedApplication
+
+        is_paused = getattr(self.session, "is_paused", None)
         n = 0
         while True:
+            if is_paused is not None and is_paused(
+                PausedApplication.PROCESSING
+            ):
+                break
             with self._lock:
                 if not self.queue or (max_items and n >= max_items):
                     break

@@ -43,6 +43,36 @@ class MatchType(enum.Enum):
     LOCALIZE_AT_POSE = 3
 
 
+class PausedApplication(enum.Enum):
+    """The three independent pause domains (toolbox_types.hpp:77-83):
+    PROCESSING stops the sync queue's consumer (scans keep queueing,
+    slam_toolbox_sync.cpp:40); VISUALIZING_GRAPH suppresses graph
+    publishes (slam_toolbox_common.cpp:524); NEW_MEASUREMENTS drops
+    incoming scans at the gate (slam_toolbox_common.cpp:762)."""
+
+    PROCESSING = 0
+    VISUALIZING_GRAPH = 1
+    NEW_MEASUREMENTS = 2
+
+
+class PausedState:
+    """Thread-safe pause map (PausedState, toolbox_types.hpp:92-117)."""
+
+    def __init__(self):
+        import threading
+
+        self._lock = threading.Lock()
+        self._state = {app: False for app in PausedApplication}
+
+    def set(self, app: PausedApplication, state: bool) -> None:
+        with self._lock:
+            self._state[app] = bool(state)
+
+    def get(self, app: PausedApplication) -> bool:
+        with self._lock:
+            return self._state[app]
+
+
 class SlamSession:
     def __init__(
         self,
@@ -66,6 +96,7 @@ class SlamSession:
         self.streaming = bool(streaming)
         self.drain_every = drain_every
         self._pipe = None
+        self._grid_cache = None  # incremental occupancy (see get_occupancy_grid)
         import threading
 
         self._pipe_lock = threading.Lock()
@@ -83,7 +114,8 @@ class SlamSession:
         )
         self.process_near_pose: Optional[np.ndarray] = None
         self.first_measurement = True
-        self.paused = False
+        self.paused_state = PausedState()
+        self.interactive_mode = False
         self.scan_count = 0
         self.last_scan_time = -np.inf
         self.last_scan_odom: Optional[np.ndarray] = None
@@ -262,14 +294,66 @@ class SlamSession:
 
     # -- map rendering (updateMap, :630-654) --------------------------------
     def get_occupancy_grid(self, resolution: Optional[float] = None):
+        """Occupancy map of all processed scans. Steady-state publishes
+        are O(new scans): the session caches the grid + hit/pass counters
+        and folds only newly added scans via add_scans_incremental
+        (equivalence with the full rebuild is tested —
+        test_incremental_equals_full_rebuild). A full re-raster happens
+        only when poses were corrected / scans removed
+        (graph.pose_revision), the resolution changed, or a new scan
+        extends the map extent."""
         self.flush()
         scans = self.mapper.all_processed_scans()
-        return occupancy.create_from_scans(
-            scans,
-            resolution or self.config.map_resolution,
+        if not scans:
+            return None
+        res = float(resolution or self.config.map_resolution)
+        g = self.mapper.graph
+        rev = g.pose_revision if g is not None else 0
+        c = self._grid_cache
+        if (
+            c is not None
+            and c["res"] == res
+            and c["rev"] == rev
+            and len(scans) >= c["n"]
+            and scans[c["n"] - 1].unique_id == c["last_uid"]
+        ):
+            new = scans[c["n"]:]
+            if not new:
+                return c["grid"]
+            # incremental fold is exact only while the map extent is
+            # unchanged (extent = union of scan bounding boxes)
+            if all(
+                np.all(s.bounding_box[0] >= c["mins"])
+                and np.all(s.bounding_box[1] <= c["maxs"])
+                for s in new
+            ):
+                grid = occupancy.add_scans_incremental(
+                    c["grid"], new,
+                    self.config.min_pass_through,
+                    self.config.occupancy_threshold,
+                )
+                self._grid_cache = dict(
+                    c, grid=grid, n=len(scans),
+                    last_uid=scans[-1].unique_id,
+                )
+                return grid
+        grid = occupancy.create_from_scans(
+            scans, res,
             self.config.min_pass_through,
             self.config.occupancy_threshold,
         )
+        mins = np.full(2, np.inf)
+        maxs = np.full(2, -np.inf)
+        for s in scans:
+            bb = s.bounding_box
+            mins = np.minimum(mins, bb[0])
+            maxs = np.maximum(maxs, bb[1])
+        self._grid_cache = {
+            "res": res, "rev": rev, "n": len(scans),
+            "last_uid": scans[-1].unique_id,
+            "mins": mins, "maxs": maxs, "grid": grid,
+        }
+        return grid
 
     # -- services -----------------------------------------------------------
     def serialize(self, path: str) -> None:
@@ -289,6 +373,7 @@ class SlamSession:
 
         self.flush()
         self._pipe = None  # device state refers to the pre-load session
+        self._grid_cache = None  # new graph object: pose_revision resets
         load_snapshot(path, self.mapper)
         scans = self.mapper.all_processed_scans()
         if scans:
@@ -337,9 +422,42 @@ class SlamSession:
     def clear_localization_buffer(self) -> None:
         self.mapper.clear_localization_buffer()
 
+    # -- pause domains (toolbox_types.hpp:77-117) ---------------------------
+    @property
+    def paused(self) -> bool:
+        """Legacy single-flag view = the NEW_MEASUREMENTS domain."""
+        return self.paused_state.get(PausedApplication.NEW_MEASUREMENTS)
+
+    @paused.setter
+    def paused(self, value: bool) -> None:
+        self.paused_state.set(PausedApplication.NEW_MEASUREMENTS, value)
+
+    def is_paused(self, app: PausedApplication) -> bool:
+        return self.paused_state.get(app)
+
     def pause(self) -> bool:
-        self.paused = not self.paused
-        return self.paused
+        """pause_new_measurements service toggle
+        (slam_toolbox_common.cpp:905-919)."""
+        cur = self.paused_state.get(PausedApplication.NEW_MEASUREMENTS)
+        self.paused_state.set(PausedApplication.NEW_MEASUREMENTS, not cur)
+        return not cur
+
+    def pause_processing(self, state: bool) -> None:
+        """Stop the sync consumer while letting scans queue
+        (slam_toolbox_sync.cpp:40)."""
+        self.paused_state.set(PausedApplication.PROCESSING, state)
+
+    def toggle_interactive_mode(self) -> bool:
+        """ToggleInteractive (slam_toolbox_common.cpp analog): entering
+        interactive mode pauses processing + graph visualization so nodes
+        can be inspected/moved (modify_node / manual_loop_closure);
+        leaving resumes both."""
+        self.interactive_mode = not self.interactive_mode
+        self.pause_processing(self.interactive_mode)
+        self.paused_state.set(
+            PausedApplication.VISUALIZING_GRAPH, self.interactive_mode
+        )
+        return self.interactive_mode
 
     def reset(self) -> None:
         self._pipe = None
@@ -440,6 +558,12 @@ class SlamSession:
             self._pipe.settle()
 
     def get_graph(self):
+        """Nodes + edges for visualization; returns None while the
+        VISUALIZING_GRAPH domain is paused (publishGraph's
+        `!isPaused(VISUALIZING_GRAPH)` gate,
+        slam_toolbox_common.cpp:524)."""
+        if self.is_paused(PausedApplication.VISUALIZING_GRAPH):
+            return None
         self._settle_pipe()
         return self.mapper.solver.get_graph()
 

@@ -51,6 +51,10 @@ class PoseGraph:
         self.edges: List[Edge] = []
         self.adjacency: Dict[int, List[Edge]] = {}
         self._version = 0       # bumped on any structural/pose change
+        # bumped only when EXISTING scans' poses are rewritten (solver
+        # corrections) or scans are removed — the incremental occupancy
+        # cache keys on this (new-scan appends don't invalidate it)
+        self.pose_revision = 0
         # incremental query structure: appended per vertex/edge, positions
         # refreshed lazily after global pose changes, full rebuild only on
         # vertex removal — O(1) amortized per scan instead of O(N+E)
@@ -252,6 +256,7 @@ class PoseGraph:
                 )
         self.adjacency.pop(uid, None)
         self._bump()
+        self.pose_revision += 1  # rendered content changed (removal)
         # tombstone in the query structure (O(1); compaction is lazy)
         slot = self._q_uid_to_idx.pop(uid, None)
         if slot is None:
@@ -1000,4 +1005,5 @@ class PoseGraph:
                 s.set_corrected_pose(pose)
         solver.clear()
         self._bump()
+        self.pose_revision += 1
         self._q_xy_stale = "ALL"

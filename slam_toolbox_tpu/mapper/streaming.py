@@ -43,6 +43,9 @@ UPLOAD_CHUNK = int(_os.environ.get("SLAM_UPLOAD_CHUNK", "16"))
 # behind graph bookkeeping + the next accumulation instead of serializing
 # into drain_fetch. Set SLAM_STREAM_PIPELINE=0 for the serial path.
 PIPELINED = _os.environ.get("SLAM_STREAM_PIPELINE", "1") != "0"
+# speculative near-chain matching (rides the batch fetch); 0 disables for
+# A/B timing — misses then go through the per-drain redispatch path
+SPECULATE = _os.environ.get("SLAM_SPEC", "1") != "0"
 
 
 class _PendingDrain:
@@ -706,7 +709,8 @@ class StreamingPipeline:
         commit validates membership per scan and redispatches on
         mismatch, so results are bit-identical either way (~88% per-scan
         hit rate measured on the warehouse localization config)."""
-        if len(pd.scans) <= 1 or not self.mapper.config.use_scan_matching:
+        if (len(pd.scans) <= 1 or not SPECULATE
+                or not self.mapper.config.use_scan_matching):
             return
         anchor = self.mapper.sensor_manager.get_last_scan(
             pd.scans[0].laser.name
@@ -729,6 +733,7 @@ class StreamingPipeline:
                 (pd.scans[i], (pd.start + i) % cap, c) for c in chains
             )
         if spairs:
+            self.mapper.stats.count("spec_pairs", len(spairs))
             pd.spec = lv.dispatch_chain_matches_spec(
                 self.matcher, spairs, self.pack_pool, pd.results
             )
