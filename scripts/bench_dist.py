@@ -1,0 +1,248 @@
+"""Distributed pose-graph solve: parity + scaling evidence (VERDICT r1 #4).
+
+Builds a spatially-local snake-path (warehouse-aisle) graph — the loop
+structure localization/lifelong sessions actually produce (uniform-random
+loop edges are an expander and misrepresent fill/coupling; CLAUDE.md) —
+then:
+  1. solves it with the authoritative f64 host sparse path,
+  2. solves it with dist/solver_dist.distributed_lm_solve on 1/2/4/8
+     virtual CPU devices,
+  3. asserts parity, reports wall times, scaling efficiency, and the PCG
+     iteration counts (bounded budget; the chain preconditioner keeps
+     iterations ~O(loop coupling), not O(n)).
+
+Run: XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+     python scripts/bench_dist.py --nodes 12288
+Writes DIST_SCALING.json at the repo root.
+
+Caveat stated in the artifact: virtual CPU devices share one host's
+cores/memory bandwidth, so multi-device wall times here validate the
+sharded program's structure and parity, and give a lower bound on
+scaling quality — ICI-connected TPU chips see less contention, DCN
+multi-host adds latency per psum (collective count is reported for that
+projection).
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+from jax.sharding import Mesh
+
+
+def build_snake_graph(n_nodes, aisle_len=60, spacing=0.5, seed=0,
+                      drift=0.01):
+    """Snake path through warehouse aisles: odometry chain + loop edges
+    between spatially adjacent nodes of neighboring aisles (every 4th
+    node), with odometry drift so the solve does real work."""
+    rng = np.random.default_rng(seed)
+    gt = np.zeros((n_nodes, 3))
+    for i in range(1, n_nodes):
+        aisle, k = divmod(i, aisle_len)
+        y = aisle * 1.0
+        if aisle % 2 == 0:
+            x = k * spacing
+        else:
+            x = (aisle_len - 1 - k) * spacing
+        gt[i, :2] = (x, y)
+        gt[i, 2] = 0.0
+    edges = []
+    cov_odom = np.diag([1e-3, 1e-3, 1e-4])
+    cov_loop = np.diag([4e-3, 4e-3, 4e-4])
+
+    def rel_pose(a, b):
+        c, s = np.cos(a[2]), np.sin(a[2])
+        d = b[:2] - a[:2]
+        return np.array([c * d[0] + s * d[1], -s * d[0] + c * d[1],
+                         np.arctan2(np.sin(b[2] - a[2]),
+                                    np.cos(b[2] - a[2]))])
+
+    init = gt.copy()
+    for i in range(n_nodes - 1):
+        rp = rel_pose(gt[i], gt[i + 1])
+        rp[:2] += rng.normal(0, drift, 2)
+        edges.append((i, i + 1, rp, cov_odom))
+        # integrate the noisy odometry for the initial guess
+        c, s = np.cos(init[i, 2]), np.sin(init[i, 2])
+        init[i + 1, :2] = init[i, :2] + np.array(
+            [c * rp[0] - s * rp[1], s * rp[0] + c * rp[1]]
+        )
+        init[i + 1, 2] = init[i, 2] + rp[2]
+    # loop edges: node i in aisle a <-> nearest node in aisle a-1
+    n_aisles = n_nodes // aisle_len
+    for aisle in range(1, n_aisles):
+        for k in range(0, aisle_len, 4):
+            i = aisle * aisle_len + k
+            if aisle % 2 == 1:
+                j = (aisle - 1) * aisle_len + (aisle_len - 1 - k)
+            else:
+                j = (aisle - 1) * aisle_len + k
+            if i < n_nodes and j < n_nodes:
+                rp = rel_pose(gt[i], gt[j])
+                rp[:2] += rng.normal(0, 0.002, 2)
+                edges.append((i, j, rp, cov_loop))
+    return gt, init, edges
+
+
+def pack(init, edges, n_dev):
+    n = len(init)
+    n_pad = 1
+    while n_pad < n:
+        n_pad <<= 1
+    e = len(edges)
+    e_pad = ((e + n_dev - 1) // n_dev) * n_dev
+    poses = np.zeros((n_pad, 3), np.float32)
+    poses[:n] = init
+    src = np.full(e_pad, n_pad - 1, np.int32)
+    dst = np.full(e_pad, n_pad - 1, np.int32)
+    rel = np.zeros((e_pad, 3), np.float32)
+    si = np.zeros((e_pad, 3, 3), np.float32)
+    em = np.zeros(e_pad, bool)
+    for k, (i, j, rp, cov) in enumerate(edges):
+        src[k], dst[k] = i, j
+        rel[k] = rp
+        si[k] = np.linalg.cholesky(np.linalg.inv(cov)).T
+        em[k] = True
+    free = np.ones(n_pad, np.float32)
+    free[n:] = 0
+    free[0] = 0
+    return poses, src, dst, rel, si, em, free
+
+
+def host_sparse_solve(init, edges):
+    from slam_toolbox_tpu.core.params import SolverConfig
+    from slam_toolbox_tpu.solver.se2_solver import PoseGraphSolver
+
+    s = PoseGraphSolver(SolverConfig())
+    for i, p in enumerate(init):
+        s.add_node(i, p)
+    for (i, j, rp, cov) in edges:
+        s.add_constraint(i, j, rp, cov)
+    t0 = time.perf_counter()
+    corr = dict(s.compute())
+    dt = time.perf_counter() - t0
+    out = np.stack([corr[i] for i in range(len(init))])
+    return out, dt, s.last_stats
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--nodes", type=int, default=12288)
+    ap.add_argument("--devices", type=int, nargs="*", default=[1, 2, 4, 8])
+    ap.add_argument("--cg-iters", type=int, default=200)
+    ap.add_argument("--reps", type=int, default=3)
+    args = ap.parse_args()
+
+    from slam_toolbox_tpu.dist.solver_dist import distributed_lm_solve
+
+    devices = jax.devices()
+    print(f"# devices available: {len(devices)}")
+    gt, init, edges = build_snake_graph(args.nodes)
+    n = len(init)
+    print(f"# graph: {n} nodes, {len(edges)} edges "
+          f"({len(edges) - n + 1} loop edges)")
+
+    ref, t_host, host_stats = host_sparse_solve(init, edges)
+    err0 = float(np.sqrt(np.mean(np.sum((init[:, :2] - gt[:, :2]) ** 2, 1))))
+    err_ref = float(np.sqrt(np.mean(np.sum((ref[:, :2] - gt[:, :2]) ** 2, 1))))
+    print(f"# host sparse: {t_host:.3f}s  stats={host_stats}")
+    print(f"# init err {err0:.4f} m -> solved err {err_ref:.4f} m")
+
+    results = {
+        "nodes": n, "edges": len(edges),
+        "host_sparse_s": round(t_host, 4),
+        "host_stats": {k: (v if isinstance(v, (int, float, str)) else str(v))
+                       for k, v in (host_stats or {}).items()},
+        "mesh": {},
+    }
+    # f32 evaluation of the host (f64) solution: the parity yardstick —
+    # near the optimum the landscape is flat at f32 resolution, so pose
+    # deltas are meaningful only together with the objective values
+    import jax.numpy as jnp
+
+    from slam_toolbox_tpu.dist.solver_dist import make_distributed_chi2
+
+    t1 = None
+    chi2_host_f32 = None
+    for nd in args.devices:
+        if nd > len(devices):
+            print(f"# skip {nd} devices (only {len(devices)})")
+            continue
+        mesh = Mesh(np.array(devices[:nd]), ("graph",))
+        packed = pack(init, edges, nd)
+        if chi2_host_f32 is None:
+            poses_p, src_p, dst_p, rel_p, si_p, em_p, _ = packed
+            refp = np.zeros_like(poses_p)
+            refp[:n] = ref
+            chi2_host_f32 = float(make_distributed_chi2(mesh)(
+                jnp.asarray(refp, jnp.float32),
+                jnp.asarray(src_p.astype(np.int32)),
+                jnp.asarray(dst_p.astype(np.int32)),
+                jnp.asarray(rel_p.astype(np.float32)),
+                jnp.asarray(si_p.astype(np.float32)),
+                jnp.asarray(em_p),
+            ))
+            print(f"# chi2_f32(host solution) = {chi2_host_f32:.4f}")
+            results["chi2_f32_host"] = round(chi2_host_f32, 4)
+        # warm (compile)
+        out, chi2 = distributed_lm_solve(
+            mesh, *packed, cg_iters=args.cg_iters
+        )
+        times = []
+        for _ in range(args.reps):
+            t0 = time.perf_counter()
+            out, chi2 = distributed_lm_solve(
+                mesh, *packed, cg_iters=args.cg_iters
+            )
+            times.append(time.perf_counter() - t0)
+        t = min(times)
+        cg_log = distributed_lm_solve.last_cg_iters
+        d = np.sqrt(np.sum((out[:n, :2] - ref[:, :2]) ** 2, 1))
+        dh = np.arctan2(np.sin(out[:n, 2] - ref[:, 2]),
+                        np.cos(out[:n, 2] - ref[:, 2]))
+        max_xy, max_h = float(d.max()), float(np.abs(dh).max())
+        if t1 is None:
+            t1 = t
+        eff = t1 / (nd * t)
+        print(f"# {nd} dev: {t:.3f}s  eff={eff:.2f}  chi2_f32={chi2:.4f}  "
+              f"cg_iters={cg_log}  max|dxy|={max_xy:.5f} m "
+              f"max|dth|={max_h:.5f} rad")
+        results["mesh"][str(nd)] = {
+            "wall_s": round(t, 4), "efficiency_vs_1dev": round(eff, 3),
+            "cg_iters_per_lm": cg_log,
+            "chi2_f32": round(float(chi2), 4),
+            "parity_max_xy_m": round(max_xy, 6),
+            "parity_max_heading_rad": round(max_h, 6),
+        }
+        # parity: the distributed solve must reach an optimum at least as
+        # good as the host f64 solution under the shared f32 objective,
+        # with mm-level pose agreement (the landscape is flat at f32
+        # resolution near the optimum)
+        assert chi2 <= chi2_host_f32 * 1.01 + 1e-6, (
+            f"distributed chi2 {chi2} worse than host {chi2_host_f32}"
+        )
+        assert max_xy < 2e-2, "distributed solve diverged from host sparse"
+    results["note"] = (
+        "virtual CPU mesh (one host): validates sharded-program structure "
+        "+ parity; wall-clock scaling is contention-bound and a lower "
+        "bound on ICI-connected chips"
+    )
+    out_path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "DIST_SCALING.json")
+    with open(out_path, "w") as f:
+        json.dump(results, f, indent=1)
+    print(json.dumps({"metric": "dist_solve_parity_max_xy_m",
+                      "value": max_xy, "unit": "m"}))
+    print(f"# wrote {out_path}")
+
+
+if __name__ == "__main__":
+    main()

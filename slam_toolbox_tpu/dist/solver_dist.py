@@ -26,15 +26,30 @@ from slam_toolbox_tpu.solver.se2_solver import (
 AXIS = "graph"
 
 
-def make_distributed_gn_step(mesh: Mesh, n_nodes: int, cg_iters: int = 50):
+def make_distributed_gn_step(
+    mesh: Mesh, n_nodes: int, cg_iters: int = 50, schwarz: bool = True,
+    block: int = 512,
+):
     """Returns a jitted, shard_mapped function computing one damped GN step.
 
     Inputs (global shapes):
       poses (N,3) replicated; src/dst (E,), rel (E,3), sqrt_info (E,3,3),
-      emask (E,) sharded over the mesh axis; free (N,) replicated;
-      lm_lambda scalar.
-    Output: (new_poses (N,3), chi2 scalar) replicated.
-    """
+      emask (E,), plocal (E,) sharded over the mesh axis; free (N,)
+      replicated; lm_lambda scalar.
+    Output: (new_poses (N,3), chi2 scalar, cg_iters_used) replicated.
+
+    Preconditioner (schwarz=True, the default): block-Jacobi additive
+    Schwarz over FIXED-size contiguous node blocks (`block` nodes; a
+    device owns n/(n_dev*block) blocks and batch-Cholesky-factors them
+    once per GN step — a batched (3*block)^3 dense factor that maps
+    straight onto the MXU). Every intra-block loop edge is inside the
+    factor (`plocal` marks them), so PCG only iterates on the
+    block-boundary coupling: iteration counts depend on the chosen block
+    size, NOT on n or on the device count — which also makes scaling
+    numbers across mesh sizes an apples-to-apples comparison. The
+    odometry-chain PCR preconditioner (schwarz=False fallback) leaves
+    2D-grid-like loop coupling to CG and needs O(width^2) iterations on
+    warehouse graphs."""
 
     def local_normal(poses, src, dst, rel, sqrt_info, emask):
         r = edge_residual(poses, src, dst, rel, sqrt_info, emask)
@@ -54,7 +69,15 @@ def make_distributed_gn_step(mesh: Mesh, n_nodes: int, cg_iters: int = 50):
         )
         return diag, hab, grad, jnp.sum(r * r)
 
-    def step(poses, src, dst, rel, sqrt_info, emask, free, lm_lambda):
+    n_dev = int(mesh.devices.size)
+    nb = n_nodes // n_dev
+    assert nb * n_dev == n_nodes, "pad nodes to a multiple of the mesh size"
+    block = min(block, nb)
+    assert nb % block == 0, "block size must divide the per-device slice"
+    bpd = nb // block  # blocks per device
+
+    def step(poses, src, dst, rel, sqrt_info, emask, plocal, free,
+             lm_lambda):
         diag_l, hab, grad_l, chi2_l = local_normal(
             poses, src, dst, rel, sqrt_info, emask
         )
@@ -68,17 +91,77 @@ def make_distributed_gn_step(mesh: Mesh, n_nodes: int, cg_iters: int = 50):
         diag_d = diag + damp + 1e-8 * eye
         b = grad * free[:, None]
 
-        # odometry-chain preconditioner: chain coupling blocks are built
-        # from the local edge shard and psum-reduced, then every device
-        # runs the same parallel-cyclic-reduction solve on the replicated
-        # tridiagonal system (O(log n) depth)
         import math
 
         from slam_toolbox_tpu.solver import chain_precond as cp
 
-        U_local = cp.build_chain_offdiag(hab, src, dst, n_nodes, free)
-        U = jax.lax.psum(U_local, AXIS)
-        pcr_steps = int(math.ceil(math.log2(max(n_nodes, 2)))) + 1
+        if schwarz:
+            # build this device's block-diagonal dense factors: scatter
+            # intra-block off-diagonal edge blocks into a (bpd, block,
+            # block, 3, 3) tensor (block index bpd = drop sink for
+            # crossing/foreign edges), overwrite each block's diagonal
+            # with the globally-reduced damped diagonal, then one BATCHED
+            # Cholesky over the device's blocks
+            start = jax.lax.axis_index(AXIS) * nb
+            rel_idx_s = src - start
+            rel_idx_d = dst - start
+            blk = jnp.where(plocal, rel_idx_s // block, bpd)
+            s_off = jnp.where(plocal, rel_idx_s % block, 0)
+            d_off = jnp.where(plocal, rel_idx_d % block, 0)
+            H5 = jnp.zeros(
+                (bpd + 1, block, block, 3, 3), poses.dtype
+            )
+            H5 = H5.at[blk, s_off, d_off].add(hab, mode="drop")
+            H5 = H5.at[blk, d_off, s_off].add(
+                jnp.swapaxes(hab, 1, 2), mode="drop"
+            )
+            H5 = H5[:bpd]
+            rng = jnp.arange(block)
+            diag_slice = jax.lax.dynamic_slice(
+                diag_d, (start, 0, 0), (nb, 3, 3)
+            ).reshape(bpd, block, 3, 3)
+            H5 = H5.at[:, rng, rng].set(diag_slice)
+            free_l = jax.lax.dynamic_slice(
+                free, (start,), (nb,)
+            ).reshape(bpd, block)
+            # fixed/padding nodes: identity rows/cols keep each factor SPD
+            H5 = (H5 * free_l[:, :, None, None, None]
+                  * free_l[:, None, :, None, None])
+            H5 = H5.at[:, rng, rng].add(
+                eye * (1.0 - free_l)[:, :, None, None]
+            )
+            Hd = H5.transpose(0, 1, 3, 2, 4).reshape(
+                bpd, block * 3, block * 3
+            )
+            chol = jnp.linalg.cholesky(Hd)  # batched over blocks
+
+            def prec(r):
+                r_l = jax.lax.dynamic_slice(
+                    r, (start, 0), (nb, 3)
+                ).reshape(bpd, block * 3)
+                z_l = jax.vmap(
+                    lambda c, rr: jax.scipy.linalg.cho_solve(
+                        (c, True), rr
+                    )
+                )(chol, r_l)
+                z = jnp.zeros((n_nodes, 3), poses.dtype)
+                z = jax.lax.dynamic_update_slice(
+                    z,
+                    z_l.reshape(nb, 3) * free_l.reshape(nb)[:, None],
+                    (start, 0),
+                )
+                return jax.lax.psum(z, AXIS) * free[:, None]
+        else:
+            # odometry-chain preconditioner: chain coupling blocks are
+            # built from the local edge shard and psum-reduced, then
+            # every device runs the same parallel-cyclic-reduction solve
+            # on the replicated tridiagonal system (O(log n) depth)
+            U_local = cp.build_chain_offdiag(hab, src, dst, n_nodes, free)
+            U = jax.lax.psum(U_local, AXIS)
+            pcr_steps = int(math.ceil(math.log2(max(n_nodes, 2)))) + 1
+
+            def prec(r):
+                return cp.pcr_solve(diag_d, U, r, free, pcr_steps)
 
         def mv(x):
             x = x * free[:, None]
@@ -96,13 +179,13 @@ def make_distributed_gn_step(mesh: Mesh, n_nodes: int, cg_iters: int = 50):
             )
             return out * free[:, None]
 
-        def prec(r):
-            return cp.pcr_solve(diag_d, U, r, free, pcr_steps)
-
         x0 = jnp.zeros_like(b)
         r0 = b - mv(x0)
         z0 = prec(r0)
         rz0 = jnp.sum(r0 * z0)
+        # relative termination: r stops being resolvable in f32 around
+        # 1e-5 * ||b||; iterating past that wastes collectives
+        rr_stop = jnp.float32(1e-10) * jnp.sum(b * b)
 
         def body(state):
             i, x, r, p, rz = state
@@ -121,22 +204,24 @@ def make_distributed_gn_step(mesh: Mesh, n_nodes: int, cg_iters: int = 50):
 
         def cond(state):
             i, _, r, _, _ = state
-            return (i < cg_iters) & (jnp.sum(r * r) > 1e-12)
+            return (i < cg_iters) & (jnp.sum(r * r) > rr_stop)
 
-        _, x, _, _, _ = jax.lax.while_loop(cond, body, (0, x0, r0, z0, rz0))
+        it, x, _, _, _ = jax.lax.while_loop(
+            cond, body, (0, x0, r0, z0, rz0)
+        )
 
         new_poses = poses + x
         new_poses = new_poses.at[:, 2].set(
             jnp.arctan2(jnp.sin(new_poses[:, 2]), jnp.cos(new_poses[:, 2]))
         )
-        return new_poses, chi2
+        return new_poses, chi2, it
 
     sharded = jax.shard_map(
         step,
         mesh=mesh,
-        in_specs=(P(), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(),
-                  P()),
-        out_specs=(P(), P()),
+        in_specs=(P(), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS),
+                  P(AXIS), P(), P()),
+        out_specs=(P(), P(), P()),
         check_vma=False,
     )
     return jax.jit(sharded)
@@ -167,35 +252,94 @@ def distributed_lm_solve(
     max_iterations: int = 50,
     initial_lambda: float = 1e-4,
     function_tolerance: float = 1e-3,
+    cg_iters: int = 200,
+    block: int = 512,
 ):
     """Host LM loop over the distributed GN step. Edge arrays must be
-    padded to a multiple of the mesh size."""
+    padded to a multiple of the mesh size.
+
+    cg_iters is a BOUNDED budget (default matches the single-device
+    SolverConfig.cg_max_iterations): the distributed chain preconditioner
+    solves the odometry backbone exactly each iteration, so PCG only has
+    to iterate on the loop-closure coupling — iteration counts scale with
+    the number of loop constraints, not with n (asserted against a 10k+
+    node spatially-local graph in scripts/bench_dist.py)."""
     n_dev = mesh.devices.size
     e = len(src)
     assert e % n_dev == 0, "pad edges to a multiple of the mesh size"
     n_pad = len(poses)
-    # CG needs ~O(n) iterations on chain-like graphs (see se2_solver)
-    step = make_distributed_gn_step(mesh, n_pad, cg_iters=max(50, n_pad))
-
-    poses_j = jnp.asarray(poses, jnp.float32)
-    args = tuple(
-        jnp.asarray(a)
-        for a in (
-            src.astype(np.int32), dst.astype(np.int32),
-            rel.astype(np.float32), sqrt_info.astype(np.float32),
-            emask,
-        )
+    assert n_pad % n_dev == 0, "pad nodes to a multiple of the mesh size"
+    nb = n_pad // n_dev
+    block_g = min(block, nb)
+    step = make_distributed_gn_step(
+        mesh, n_pad, cg_iters=cg_iters, block=block_g
     )
-    free_j = jnp.asarray(free, jnp.float32)
+
+    # partition edges by owning node slice so each device's shard holds
+    # the edges of its own subdomain (the Schwarz preconditioner factors
+    # the intra-BLOCK ones; crossing edges stay in the shard of their
+    # lower endpoint, marked plocal=False, and participate only in mv)
+    src = src.astype(np.int64)
+    dst = dst.astype(np.int64)
+    owner = np.where(emask, np.minimum(src, dst) // nb, 0).astype(np.int64)
+    plocal = emask & ((src // block_g) == (dst // block_g))
+    counts = np.bincount(owner[emask], minlength=n_dev)
+    shard_e = int(max(1, counts.max()))
+    e2 = shard_e * n_dev
+    src2 = np.full(e2, n_pad - 1, np.int64)
+    dst2 = np.full(e2, n_pad - 1, np.int64)
+    rel2 = np.zeros((e2, 3), rel.dtype)
+    si2 = np.zeros((e2, 3, 3), sqrt_info.dtype)
+    em2 = np.zeros(e2, bool)
+    pl2 = np.zeros(e2, bool)
+    fill = np.zeros(n_dev, np.int64)
+    for k in np.flatnonzero(emask):
+        d = owner[k]
+        pos = d * shard_e + fill[d]
+        fill[d] += 1
+        src2[pos], dst2[pos] = src[k], dst[k]
+        rel2[pos] = rel[k]
+        si2[pos] = sqrt_info[k]
+        em2[pos] = True
+        pl2[pos] = plocal[k]
+
+    # explicit shardings (required under multi-process/multi-host: every
+    # process holds the full arrays and contributes its addressable
+    # shards; a plain jnp.asarray would be process-local)
+    from jax.sharding import NamedSharding
+
+    rep = NamedSharding(mesh, P())
+    shd = NamedSharding(mesh, P(AXIS))
+
+    def put_sharded(a):
+        # local_data is the FULL global array (every process builds the
+        # same graph deterministically); jax slices each process's shards
+        return jax.make_array_from_process_local_data(shd, a, a.shape)
+
+    def put_rep(a):
+        return jax.make_array_from_process_local_data(rep, a, a.shape)
+
+    poses_j = put_rep(poses.astype(np.float32))
+    args = (
+        put_sharded(src2.astype(np.int32)),
+        put_sharded(dst2.astype(np.int32)),
+        put_sharded(rel2.astype(np.float32)),
+        put_sharded(si2.astype(np.float32)),
+        put_sharded(em2),
+    )
+    plocal_j = put_sharded(pl2)
+    free_j = put_rep(free.astype(np.float32))
 
     chi2_fn = make_distributed_chi2(mesh)
     lam = initial_lambda
     chi2 = None
+    cg_iter_log = []
     for _ in range(max_iterations):
-        new_poses, cur_chi2 = step(
-            poses_j, *args, free_j, jnp.float32(lam)
+        new_poses, cur_chi2, cg_used = step(
+            poses_j, *args, plocal_j, free_j, jnp.float32(lam)
         )
         cur_chi2 = float(cur_chi2)
+        cg_iter_log.append(int(cg_used))
         if chi2 is None:
             chi2 = cur_chi2
         # evaluate the proposal with the cheap chi2-only collective
@@ -211,4 +355,5 @@ def distributed_lm_solve(
             lam = min(lam * 10.0, 1e6)
             if lam >= 1e6:
                 break
+    distributed_lm_solve.last_cg_iters = cg_iter_log
     return np.asarray(poses_j), chi2

@@ -11,6 +11,7 @@ from __future__ import annotations
 from collections import deque
 from typing import Dict, List, Optional
 
+import jax
 import numpy as np
 
 from slam_toolbox_tpu.core import geometry
@@ -828,9 +829,27 @@ class PoseGraph:
                     continue  # poses moved: re-sweep remaining candidates
                 return closed
             with stage_timer(self.mapper.stats, "loop_coarse_match"):
-                coarse_results = self.mapper.loop_matcher.match_scans_batch(
-                    scan, chains, penalize=False, refine=False
-                )
+                coarse_results = None
+                if len(chains) > 1 and jax.device_count() > 1:
+                    # multi-device: raster+score every candidate chain
+                    # concurrently, one chain per mesh slot
+                    # (dist/match_dist.py; equivalence tested)
+                    try:
+                        from slam_toolbox_tpu.dist.match_dist import (
+                            match_chains_sharded,
+                        )
+
+                        coarse_results = match_chains_sharded(
+                            self.mapper.loop_matcher, scan, chains
+                        )
+                    except Exception:
+                        coarse_results = None
+                if coarse_results is None:
+                    coarse_results = (
+                        self.mapper.loop_matcher.match_scans_batch(
+                            scan, chains, penalize=False, refine=False
+                        )
+                    )
             # coarse gates (Mapper.cpp:1523-1525); fine verification for
             # every passing chain is DISPATCHED at once and fetched with a
             # single completion wait — the reference verifies sequentially,

@@ -736,6 +736,7 @@ class PoseGraphSolver:
             max_iterations=cfg.max_iterations,
             initial_lambda=cfg.initial_lm_lambda,
             function_tolerance=cfg.function_tolerance,
+            cg_iters=cfg.cg_max_iterations,
         )
         result = np.asarray(out[:n], dtype=np.float64)
         self.corrections = [

@@ -101,3 +101,82 @@ def test_distributed_solve_improves_chi2():
     err_init = np.linalg.norm(init[-1][:2] - gt[-1][:2])
     err_out = np.linalg.norm(out[n - 1][:2] - gt[-1][:2])
     assert err_out < err_init
+
+
+def _out_and_back_graph():
+    """Out-and-back corridor whose early stretch is a valid loop-candidate
+    chain for the final scan (same construction as test_events)."""
+    from slam_toolbox_tpu.core.params import MapperConfig
+    from slam_toolbox_tpu.core.scan import LaserConfig, LocalizedScan
+    from slam_toolbox_tpu.mapper.mapper import Mapper
+
+    laser = LaserConfig(beam_count=181, min_angle=-np.pi / 2,
+                        max_angle=np.pi / 2, min_range=0.05,
+                        max_range=12.0, range_threshold=10.0, is_360=False)
+    cfg = MapperConfig(loop_match_minimum_chain_size=4,
+                       minimum_travel_distance=0.0,
+                       minimum_time_interval=0.0)
+    m = Mapper(cfg)
+    m.initialize(laser.range_threshold)
+    rng = np.random.default_rng(3)
+    cov = np.eye(3) * 1e-3
+    xs = list(np.arange(0, 7.0, 0.35)) + list(np.arange(7.0, -0.01, -0.35))
+    sm = m.sensor_manager
+    scans, prev = [], None
+    for i, x in enumerate(xs):
+        ranges = 4.0 + 0.5 * np.sin(
+            np.linspace(0, 3, laser.n_beams)
+        ) + rng.normal(0, 0.01, laser.n_beams)
+        s = LocalizedScan(laser, ranges, [x, 0.0, 0.0], time=i)
+        sm.add_scan(s)
+        m.graph.add_vertex(s)
+        if prev is not None:
+            m.graph.link_scans(prev, s, s.sensor_pose, cov)
+        prev = s
+        scans.append(s)
+    return m, laser, scans
+
+
+def test_sharded_chain_match_equals_per_chain_path():
+    from slam_toolbox_tpu.dist.match_dist import match_chains_sharded
+
+    m, laser, scans = _out_and_back_graph()
+    query = scans[-1]
+    chains, _ = m.graph._sweep_chains(query, laser.name, 0)
+    assert chains
+    # give the sharded path a multi-chain batch even if the sweep found 1
+    if len(chains) == 1:
+        chains = chains + [chains[0][:len(chains[0]) // 2 + 4]]
+    ref = m.loop_matcher.match_scans_batch(
+        query, chains, penalize=False, refine=False
+    )
+    got = match_chains_sharded(m.loop_matcher, query, chains)
+    assert len(got) == len(ref)
+    for a, b in zip(got, ref):
+        np.testing.assert_allclose(a.response, b.response, atol=1e-5)
+        np.testing.assert_allclose(
+            a.sensor_pose, b.sensor_pose, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            a.covariance, b.covariance, atol=1e-4
+        )
+
+
+def test_try_close_loop_uses_sharded_path_on_multi_device(monkeypatch):
+    import slam_toolbox_tpu.dist.match_dist as md
+
+    m, laser, scans = _out_and_back_graph()
+    calls = []
+    orig = md.match_chains_sharded
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(md, "match_chains_sharded", spy)
+    m.graph.try_close_loop(scans[-1], laser.name)
+    # conftest provides 8 CPU devices, so multi-chain sweeps must route
+    # through the sharded matcher (single-chain sweeps may fall through)
+    chains, _ = m.graph._sweep_chains(scans[-1], laser.name, 0)
+    if len(chains) > 1:
+        assert calls
