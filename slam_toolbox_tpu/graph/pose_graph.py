@@ -751,6 +751,25 @@ class PoseGraph:
             )
         return chains, start_id
 
+    def _use_fused_loop(self) -> bool:
+        """Whether loop events run through the fused verify program
+        (kernels/loop_verify.py). Default: only when both matchers have
+        the Pallas window kernel (the fused program was built for the
+        tunneled-TPU round-trip economics). SLAM_FUSED_LOOP=1 forces it
+        on any backend — the program itself is backend-agnostic (parity
+        flags fall back to the XLA scorer) — which is how the CPU suite
+        exercises the deferred begin/finish machinery; =0 disables it."""
+        import os
+
+        flag = os.environ.get("SLAM_FUSED_LOOP", "auto")
+        if flag == "1":
+            return True
+        if flag == "0":
+            return False
+        lm = self.mapper.loop_matcher
+        sm_seq = self.mapper.sequential_matcher
+        return bool(lm.use_pallas and sm_seq.use_pallas)
+
     def try_close_loop_begin(self, scan, sensor_name):
         """Asynchronous first half of TryCloseLoop for the streaming
         drain: sweep the candidate chains and DISPATCH the fused verify
@@ -764,10 +783,10 @@ class PoseGraph:
         from slam_toolbox_tpu.kernels import loop_verify as lv
         from slam_toolbox_tpu.utils.metrics import stage_timer
 
+        if not self._use_fused_loop():
+            return self.try_close_loop(scan, sensor_name)
         lm = self.mapper.loop_matcher
         sm_seq = self.mapper.sequential_matcher
-        if not (lm.use_pallas and sm_seq.use_pallas):
-            return self.try_close_loop(scan, sensor_name)
         chains, start_id = self._sweep_chains(scan, sensor_name, 0)
         if not chains:
             return False
@@ -818,9 +837,7 @@ class PoseGraph:
             )
             if not chains:
                 return closed
-            lm = self.mapper.loop_matcher
-            sm_seq = self.mapper.sequential_matcher
-            if lm.use_pallas and sm_seq.use_pallas:
+            if self._use_fused_loop():
                 closed_this_round = self._try_close_fused(
                     scan, chains, cfg
                 )

@@ -109,7 +109,12 @@ def load_snapshot(path: str, mapper=None):
     """Rebuild a Mapper from a snapshot; returns the mapper."""
     from slam_toolbox_tpu.mapper import Mapper
 
-    z = np.load(path, allow_pickle=False)
+    zf = np.load(path, allow_pickle=False)
+    # materialize every array ONCE: NpzFile.__getitem__ re-reads and
+    # re-decompresses the whole member on every access, which turns the
+    # per-scan loop below into O(n^2) decompression (measured 13 ms/scan
+    # at n=2k — a 100k-node resume would take 20+ minutes)
+    z = {k: zf[k] for k in zf.files}
     meta = json.loads(bytes(z["meta"]).decode())
 
     cfg_d = dict(meta["config"])

@@ -170,6 +170,94 @@ def compute_dimensions(scans, resolution: float):
     return width, height, mins
 
 
+def _beam_cells(group, offset, scale):
+    """Host-side beam prep shared by the XLA and native raster paths:
+    per-beam (start_cell, end_cell, beam_valid, end_valid) with the
+    range-threshold endpoint clamp (AddScan, Karto.h:6146-6189)."""
+    starts, ends, bvalid, evalid = [], [], [], []
+    for s in group:
+        laser = s.laser
+        r = s.ranges
+        pts = s.points_world(filtered=False).copy()
+        spos = s.sensor_pose[:2]
+        with np.errstate(invalid="ignore"):
+            use = (
+                np.isfinite(r)
+                & (r > laser.min_range)
+                & (r < laser.max_range)
+            )
+            clamp = use & (r >= laser.range_threshold)
+        ratio = np.where(
+            clamp, laser.range_threshold / np.where(r > 0, r, 1.0), 1.0
+        )
+        pts = spos[None, :] + ratio[:, None] * (pts - spos[None, :])
+        end_ok = use & (r < laser.range_threshold - 1e-6)
+        sc = np.asarray(
+            round_half_away((spos - offset) * scale), np.int32
+        )
+        ec = np.asarray(
+            round_half_away(
+                (np.nan_to_num(pts, nan=-1e6) - offset[None, :]) * scale
+            ),
+            np.int32,
+        )
+        starts.append(np.broadcast_to(sc, (len(r), 2)))
+        ends.append(ec)
+        bvalid.append(use)
+        evalid.append(end_ok)
+    return (
+        np.concatenate(starts), np.concatenate(ends),
+        np.concatenate(bvalid), np.concatenate(evalid),
+    )
+
+
+def _use_native() -> bool:
+    import os
+
+    from slam_toolbox_tpu import native
+
+    if os.environ.get("SLAM_NATIVE_OCC", "1") == "0":
+        return False
+    lib = native.get_lib()
+    return lib is not None and hasattr(lib, "occupancy_raster")
+
+
+def _accumulate(scans, offset, scale, width, height, pass0, hit0, chunk):
+    """Accumulate pass/hit counters over `scans`, native (host Bresenham,
+    ~200M cell updates/s) when available, XLA trace_beams otherwise (TPU
+    scatter serializes at ~8M updates/s — a 500k-scan rebuild would take
+    tens of minutes on device). Returns np.int32 (H, W) arrays; outputs
+    are identical (golden-tested)."""
+    rt = min(s.laser.range_threshold for s in scans)
+    max_steps = int(np.ceil(rt * scale)) + 8
+    B = scans[0].laser.n_beams
+    if _use_native():
+        from slam_toolbox_tpu import native
+
+        pass_np = np.ascontiguousarray(pass0, np.int32).copy()
+        hit_np = np.ascontiguousarray(hit0, np.int32).copy()
+        for c0 in range(0, len(scans), chunk):
+            st, en, bv, ev = _beam_cells(
+                scans[c0:c0 + chunk], offset, scale
+            )
+            native.occupancy_raster(
+                st, en, bv, ev, width, height, pass_np, hit_np
+            )
+        return pass_np, hit_np
+    pass_cnt = jnp.asarray(pass0, jnp.int32)
+    hit_cnt = jnp.asarray(hit0, jnp.int32)
+    for c0 in range(0, len(scans), chunk):
+        st, en, bv, ev = _beam_cells(scans[c0:c0 + chunk], offset, scale)
+        n_pad = chunk * B
+        pass_cnt, hit_cnt = trace_beams(
+            pass_cnt, hit_cnt,
+            jnp.asarray(_pad2(st, n_pad)), jnp.asarray(_pad2(en, n_pad)),
+            jnp.asarray(_pad1(bv, n_pad)), jnp.asarray(_pad1(ev, n_pad)),
+            width, height, max_steps,
+        )
+    return np.asarray(pass_cnt), np.asarray(hit_cnt)
+
+
 def create_from_scans(
     scans: List,
     resolution: float,
@@ -185,66 +273,17 @@ def create_from_scans(
     width, height, offset = compute_dimensions(scans, resolution)
     width, height = max(width, 1), max(height, 1)
     scale = 1.0 / resolution
-
-    pass_cnt = jnp.zeros((height, width), jnp.int32)
-    hit_cnt = jnp.zeros((height, width), jnp.int32)
-
-    rt = min(s.laser.range_threshold for s in scans)
-    max_steps = int(np.ceil(rt * scale)) + 8
-
-    B = scans[0].laser.n_beams
-    for c0 in range(0, len(scans), chunk):
-        group = scans[c0:c0 + chunk]
-        starts, ends, bvalid, evalid = [], [], [], []
-        for s in group:
-            laser = s.laser
-            r = s.ranges
-            pts = s.points_world(filtered=False).copy()
-            spos = s.sensor_pose[:2]
-            with np.errstate(invalid="ignore"):
-                use = (
-                    np.isfinite(r)
-                    & (r > laser.min_range)
-                    & (r < laser.max_range)
-                )
-                clamp = use & (r >= laser.range_threshold)
-            ratio = np.where(
-                clamp, laser.range_threshold / np.where(r > 0, r, 1.0), 1.0
-            )
-            pts = spos[None, :] + ratio[:, None] * (pts - spos[None, :])
-            end_ok = use & (r < laser.range_threshold - 1e-6)
-            sc = np.asarray(
-                round_half_away((spos - offset) * scale), np.int32
-            )
-            ec = np.asarray(
-                round_half_away(
-                    (np.nan_to_num(pts, nan=-1e6) - offset[None, :]) * scale
-                ),
-                np.int32,
-            )
-            starts.append(np.broadcast_to(sc, (len(r), 2)))
-            ends.append(ec)
-            bvalid.append(use)
-            evalid.append(end_ok)
-        n_pad = chunk * B
-        starts = _pad2(np.concatenate(starts), n_pad)
-        ends = _pad2(np.concatenate(ends), n_pad)
-        bvalid = _pad1(np.concatenate(bvalid), n_pad)
-        evalid = _pad1(np.concatenate(evalid), n_pad)
-        pass_cnt, hit_cnt = trace_beams(
-            pass_cnt, hit_cnt,
-            jnp.asarray(starts), jnp.asarray(ends),
-            jnp.asarray(bvalid), jnp.asarray(evalid),
-            width, height, max_steps,
-        )
-
+    zeros = np.zeros((height, width), np.int32)
+    pass_np, hit_np = _accumulate(
+        scans, offset, scale, width, height, zeros, zeros, chunk
+    )
     cells = update_cells(
-        pass_cnt, hit_cnt,
+        jnp.asarray(pass_np), jnp.asarray(hit_np),
         jnp.int32(min_pass_through), jnp.float32(occupancy_threshold),
     )
     return OccupancyGrid(
         np.asarray(cells), offset, resolution,
-        pass_cnt=np.asarray(pass_cnt), hit_cnt=np.asarray(hit_cnt),
+        pass_cnt=pass_np, hit_cnt=hit_np,
     )
 
 
@@ -268,61 +307,17 @@ def add_scans_incremental(
     )
     height, width = grid.pass_cnt.shape
     scale = 1.0 / grid.resolution
-    pass_cnt = jnp.asarray(grid.pass_cnt)
-    hit_cnt = jnp.asarray(grid.hit_cnt)
-    rt = min(s.laser.range_threshold for s in scans)
-    max_steps = int(np.ceil(rt * scale)) + 8
-    B = scans[0].laser.n_beams
-    for c0 in range(0, len(scans), chunk):
-        group = scans[c0:c0 + chunk]
-        starts, ends, bvalid, evalid = [], [], [], []
-        for s in group:
-            laser = s.laser
-            r = s.ranges
-            pts = s.points_world(filtered=False).copy()
-            spos = s.sensor_pose[:2]
-            with np.errstate(invalid="ignore"):
-                use = (
-                    np.isfinite(r)
-                    & (r > laser.min_range)
-                    & (r < laser.max_range)
-                )
-                clamp = use & (r >= laser.range_threshold)
-            ratio = np.where(
-                clamp, laser.range_threshold / np.where(r > 0, r, 1.0), 1.0
-            )
-            pts = spos[None, :] + ratio[:, None] * (pts - spos[None, :])
-            end_ok = use & (r < laser.range_threshold - 1e-6)
-            sc = np.asarray(
-                round_half_away((spos - grid.offset) * scale), np.int32
-            )
-            ec = np.asarray(
-                round_half_away(
-                    (np.nan_to_num(pts, nan=-1e6)
-                     - grid.offset[None, :]) * scale
-                ),
-                np.int32,
-            )
-            starts.append(np.broadcast_to(sc, (len(r), 2)))
-            ends.append(ec)
-            bvalid.append(use)
-            evalid.append(end_ok)
-        n_pad = chunk * B
-        pass_cnt, hit_cnt = trace_beams(
-            pass_cnt, hit_cnt,
-            jnp.asarray(_pad2(np.concatenate(starts), n_pad)),
-            jnp.asarray(_pad2(np.concatenate(ends), n_pad)),
-            jnp.asarray(_pad1(np.concatenate(bvalid), n_pad)),
-            jnp.asarray(_pad1(np.concatenate(evalid), n_pad)),
-            width, height, max_steps,
-        )
+    pass_np, hit_np = _accumulate(
+        scans, grid.offset, scale, width, height,
+        grid.pass_cnt, grid.hit_cnt, chunk,
+    )
     cells = update_cells(
-        pass_cnt, hit_cnt,
+        jnp.asarray(pass_np), jnp.asarray(hit_np),
         jnp.int32(min_pass_through), jnp.float32(occupancy_threshold),
     )
     return OccupancyGrid(
         np.asarray(cells), grid.offset, grid.resolution,
-        pass_cnt=np.asarray(pass_cnt), hit_cnt=np.asarray(hit_cnt),
+        pass_cnt=pass_np, hit_cnt=hit_np,
     )
 
 

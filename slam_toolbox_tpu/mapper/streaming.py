@@ -523,6 +523,12 @@ class StreamingPipeline:
     def refresh_state(self) -> None:
         """(Re)build device state from the host's authoritative running
         buffer + last scan."""
+        from slam_toolbox_tpu.utils.metrics import stage_timer
+
+        with stage_timer(self.mapper.stats, "refresh_state"):
+            self._refresh_state_impl()
+
+    def _refresh_state_impl(self) -> None:
         sm = self.mapper.sensor_manager
         running = sm.get_running_scans(self.laser.name)
         last = sm.get_last_scan(self.laser.name)
@@ -672,10 +678,13 @@ class StreamingPipeline:
             return
         if not self.pending:
             return
+        from slam_toolbox_tpu.utils.metrics import stage_timer
+
         scans = self.pending
         n = len(scans)
         self.pending = []
-        packs, odoms = self._dispatch_batch(scans)
+        with stage_timer(self.mapper.stats, "batch_dispatch"):
+            packs, odoms = self._dispatch_batch(scans)
         pd = _PendingDrain(
             scans, packs, odoms,
             start=self._dispatched_since_refresh - n,
@@ -685,7 +694,8 @@ class StreamingPipeline:
         # (its host bookkeeping hasn't run yet, so sm.last_scan is stale)
         self._last_gate_scan = scans[-1]
         epoch0 = self._state_epoch
-        self._commit()  # previous batch's bookkeeping; overlaps device
+        with stage_timer(self.mapper.stats, "commit_total"):
+            self._commit()  # previous batch's bookkeeping; overlaps device
         if self._needs_resync:
             self.refresh_state()
             self._needs_resync = False
@@ -722,6 +732,11 @@ class StreamingPipeline:
         pred_chains = self.mapper.graph.predict_near_chains(
             pd.scans, anchor
         )
+        stats = self.mapper.stats
+        stats.count(
+            "spec_pred_unavailable",
+            sum(1 for c in pred_chains if c is None),
+        )
         spairs = []
         spec_offsets = {}
         cap = self.result_cap
@@ -733,13 +748,15 @@ class StreamingPipeline:
                 (pd.scans[i], (pd.start + i) % cap, c) for c in chains
             )
         if spairs:
-            self.mapper.stats.count("spec_pairs", len(spairs))
+            stats.count("spec_pairs", len(spairs))
             pd.spec = lv.dispatch_chain_matches_spec(
                 self.matcher, spairs, self.pack_pool, pd.results
             )
             if pd.spec is not None:
                 pd.pred_chains = pred_chains
                 pd.spec_offsets = spec_offsets
+            else:
+                stats.count("spec_dispatch_abort")
 
     def _settle_deferred(self) -> bool:
         """Finish the deferred loop closure dispatched by the previous
@@ -803,10 +820,11 @@ class StreamingPipeline:
                 pd.results.block_until_ready()
                 res_np = np.asarray(pd.results, np.float64)
                 spec_np = None
-        moved_uids, any_closed, buffer_changed = self._bookkeep(
-            pd.scans, pd.start, res_np, spec_np,
-            pd.pred_chains, pd.spec_offsets,
-        )
+        with stage_timer(self.mapper.stats, "commit_bookkeep"):
+            moved_uids, any_closed, buffer_changed = self._bookkeep(
+                pd.scans, pd.start, res_np, spec_np,
+                pd.pred_chains, pd.spec_offsets,
+            )
         self._flag_resync(pd.scans, moved_uids, any_closed, buffer_changed)
 
     def _flag_resync(self, scans, moved_uids, any_closed, buffer_changed):

@@ -80,8 +80,34 @@ def get_lib():
     lib.sparse_chol_factor_solve.argtypes = [ptr, ptr, ptr, ptr, ptr]
     lib.sparse_chol_free.restype = None
     lib.sparse_chol_free.argtypes = [ptr]
+    lib.occupancy_raster.restype = None
+    lib.occupancy_raster.argtypes = [
+        ptr, ptr, ptr, ptr, i64, i64, i64, ptr, ptr,
+    ]
     _lib = lib
     return lib
+
+
+def occupancy_raster(start_cells, end_cells, beam_valid, end_valid,
+                     width, height, pass_cnt, hit_cnt) -> bool:
+    """Accumulate Bresenham pass/hit counts in place (int32 (H, W)
+    arrays). Returns False when the native lib is unavailable (caller
+    uses the XLA trace_beams path)."""
+    lib = get_lib()
+    if lib is None:
+        return False
+    sc = np.ascontiguousarray(start_cells, np.int32)
+    ec = np.ascontiguousarray(end_cells, np.int32)
+    bv = np.ascontiguousarray(beam_valid, np.uint8)
+    ev = np.ascontiguousarray(end_valid, np.uint8)
+    assert pass_cnt.dtype == np.int32 and pass_cnt.flags.c_contiguous
+    assert hit_cnt.dtype == np.int32 and hit_cnt.flags.c_contiguous
+    lib.occupancy_raster(
+        sc.ctypes.data, ec.ctypes.data, bv.ctypes.data, ev.ctypes.data,
+        len(sc), int(width), int(height),
+        pass_cnt.ctypes.data, hit_cnt.ctypes.data,
+    )
+    return True
 
 
 class SparseCholesky:

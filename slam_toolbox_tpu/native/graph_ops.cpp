@@ -598,4 +598,48 @@ int64_t sparse_block_solve(
     return nnz;
 }
 
+// Occupancy ray accumulation for BULK map rebuilds (the 500k-node merge):
+// XLA scatter on TPU serializes at ~8M updates/s, so a whole-map raster
+// of ~1e10 beam-step updates would take tens of minutes on device; this
+// host loop does ~200M/s. The cell sequence is IDENTICAL to
+// kernels/occupancy.trace_beams (closed-form Bresenham
+// minor(k) = (2k*dy + dx) / (2dx), endpoint pass+hit per RayTrace,
+// Karto.h:6217-6231) — equivalence is golden-tested.
+void occupancy_raster(
+    const int32_t* start_cells,  // (n, 2) sensor cell (x, y) per beam
+    const int32_t* end_cells,    // (n, 2) endpoint cell
+    const uint8_t* beam_valid,   // (n,)
+    const uint8_t* end_valid,    // (n,)
+    int64_t n, int64_t width, int64_t height,
+    int32_t* pass_cnt,           // (height, width), accumulated in place
+    int32_t* hit_cnt             // (height, width)
+) {
+    for (int64_t i = 0; i < n; ++i) {
+        if (!beam_valid[i]) continue;
+        int64_t x0 = start_cells[2 * i], y0 = start_cells[2 * i + 1];
+        int64_t x1 = end_cells[2 * i], y1 = end_cells[2 * i + 1];
+        const bool steep = std::llabs(y1 - y0) > std::llabs(x1 - x0);
+        int64_t ax0 = steep ? y0 : x0, ay0 = steep ? x0 : y0;
+        int64_t ax1 = steep ? y1 : x1, ay1 = steep ? x1 : y1;
+        if (ax0 > ax1) { std::swap(ax0, ax1); std::swap(ay0, ay1); }
+        const int64_t dx = ax1 - ax0;
+        const int64_t dy = std::llabs(ay1 - ay0);
+        const int64_t ystep = (ay0 < ay1) ? 1 : -1;
+        const int64_t dx2 = 2 * std::max<int64_t>(dx, 1);
+        for (int64_t k = 0; k <= dx; ++k) {
+            const int64_t minor = ay0 + ystep * ((2 * k * dy + dx) / dx2);
+            const int64_t px = steep ? minor : ax0 + k;
+            const int64_t py = steep ? ax0 + k : minor;
+            if (px >= 0 && px < width && py >= 0 && py < height) {
+                ++pass_cnt[py * width + px];
+            }
+        }
+        if (end_valid[i] && x1 >= 0 && x1 < width && y1 >= 0 &&
+            y1 < height) {
+            ++pass_cnt[y1 * width + x1];
+            ++hit_cnt[y1 * width + x1];
+        }
+    }
+}
+
 }  // extern "C"

@@ -121,3 +121,37 @@ def test_ray_cast():
     grid = occ.create_from_scans(scans, 0.1, min_pass_through=1)
     d = grid.ray_cast(np.array([0.0, 0.0, 0.0]), 8.0)
     assert 3.4 < d < 4.4
+
+
+def test_native_raster_matches_xla(monkeypatch):
+    """The native host Bresenham (graph_ops.cpp occupancy_raster) must
+    produce counters identical to the XLA trace_beams closed form."""
+    from slam_toolbox_tpu import native
+    from slam_toolbox_tpu.kernels import occupancy as occ
+
+    if native.get_lib() is None or not hasattr(
+        native.get_lib(), "occupancy_raster"
+    ):
+        import pytest
+
+        pytest.skip("native lib unavailable")
+    laser = LaserConfig(
+        min_range=0.05, max_range=12.0, range_threshold=10.0,
+        angular_resolution=np.deg2rad(1.0),
+    )
+    sim = LidarSimulator(SegmentWorld.box(4.0), laser, range_noise=0.01,
+                         seed=5)
+    rng = np.random.default_rng(5)
+    scans = []
+    for k in range(24):
+        pose = np.array([rng.uniform(-2, 2), rng.uniform(-2, 2),
+                         rng.uniform(-np.pi, np.pi)])
+        r = sim.scan_at(pose)
+        scans.append(LocalizedScan(laser, r, pose))
+    monkeypatch.setenv("SLAM_NATIVE_OCC", "0")
+    g_xla = occ.create_from_scans(scans, 0.05)
+    monkeypatch.setenv("SLAM_NATIVE_OCC", "1")
+    g_nat = occ.create_from_scans(scans, 0.05)
+    np.testing.assert_array_equal(g_nat.pass_cnt, g_xla.pass_cnt)
+    np.testing.assert_array_equal(g_nat.hit_cnt, g_xla.hit_cnt)
+    np.testing.assert_array_equal(g_nat.cells, g_xla.cells)
