@@ -248,10 +248,115 @@ def cmd_config3(args) -> int:
     return 0
 
 
+def _rows_world(n_rows: int, width: float = 62.0):
+    """Big warehouse as horizontal broken-shelving rows every 2 m (the
+    bench_merge500k generator): locally distinctive scans, scales to
+    arbitrarily many rows."""
+    from slam_toolbox_tpu.io.dataset import SegmentWorld
+
+    segs = []
+    for row in range(n_rows):
+        y = row * 2.0 - 1.0
+        for x0 in np.arange(-1.0, width, 7.0):
+            segs.append((x0 + 0.3 * (row % 3), y,
+                         min(x0 + 5.5, width), y))
+    segs.append((-1.0, -1.0, -1.0, n_rows * 2.0))
+    segs.append((width, -1.0, width, n_rows * 2.0))
+    return SegmentWorld(np.array(segs, dtype=np.float64))
+
+
+def build_prior_snapshot(path, n_nodes, laser, seed=7):
+    """Synthesize a BASELINE-config-4-scale prior directly (skeleton
+    build: simulated scans at serpentine poses, odometry chain + cross-row
+    loop edges, corrected poses with realistic residual noise) — building
+    it through full SLAM would take hours at 50k-100k nodes; the
+    localization product path only needs the serialized graph. Windowed
+    per-row sub-worlds keep the 1081-beam simulation to minutes
+    (scripts/bench_merge500k.py technique). Returns the world so the
+    caller can localize in it."""
+    from slam_toolbox_tpu.core.params import MapperConfig
+    from slam_toolbox_tpu.core.scan import LocalizedScan
+    from slam_toolbox_tpu.io.dataset import LidarSimulator, SegmentWorld
+    from slam_toolbox_tpu.io.serialization import save_snapshot
+    from slam_toolbox_tpu.mapper import Mapper
+
+    step = 0.3
+    width = 62.0
+    per_row = int(60.0 / step)  # 200 nodes per row
+    n_rows = (n_nodes + per_row - 1) // per_row + 1
+    world = _rows_world(n_rows, width)
+    rng = np.random.default_rng(seed)
+
+    segs = world.segments
+    seg_ymin = np.minimum(segs[:, 1], segs[:, 3])
+    seg_ymax = np.maximum(segs[:, 1], segs[:, 3])
+    sub_sims = {}
+
+    def sim_for(row):
+        s = sub_sims.get(row)
+        if s is None:
+            y = row * 2.0
+            keep = (seg_ymax >= y - 13.0) & (seg_ymin <= y + 13.0)
+            s = LidarSimulator(SegmentWorld(segs[keep]), laser,
+                               range_noise=0.01, seed=100 + row)
+            sub_sims[row] = s
+            if len(sub_sims) > 8:  # bounded cache
+                sub_sims.pop(next(iter(sub_sims)))
+        return s
+
+    m = Mapper(MapperConfig(use_scan_matching=False))
+    m.initialize(laser.range_threshold)
+    sm = m.sensor_manager
+    cov_odom = np.diag([1e-3, 1e-3, 1e-4])
+    cov_loop = np.diag([4e-3, 4e-3, 4e-4])
+    prev = None
+    scans = []
+    t0 = time.time()
+    for i in range(n_nodes):
+        row, k = divmod(i, per_row)
+        y = row * 2.0 + 1.0
+        x = 1.0 + k * step if row % 2 == 0 else 1.0 + (per_row - 1 - k) * step
+        th = 0.0 if row % 2 == 0 else np.pi
+        gt = np.array([x, y, th])
+        r = sim_for(row).scan_at(gt)
+        corrected = gt + rng.normal(0, [0.015, 0.015, 0.004])
+        odom = gt + rng.normal(0, [0.05, 0.05, 0.01])
+        s = LocalizedScan(laser, r, odom, time=float(i))
+        s.set_corrected_pose(corrected)
+        sm.add_scan(s)
+        m.graph.add_vertex(s)
+        if prev is not None:
+            m.graph.link_scans(prev, s, s.sensor_pose, cov_odom)
+        # cross-row loop edge every 8th node (the connectivity real
+        # sessions produce; drives near-linked BFS + solver fill)
+        if row > 0 and k % 8 == 0:
+            j = (row - 1) * per_row + (
+                k if row % 2 == 1 else per_row - 1 - k
+            )
+            if 0 <= j < len(scans):
+                m.graph.link_scans(scans[j], s, s.sensor_pose, cov_loop)
+        scans.append(s)
+        sm.set_last_scan(s)
+        prev = s
+        if i and i % 10000 == 0:
+            print(f"# prior build {i}/{n_nodes} ({time.time()-t0:.0f}s)",
+                  file=sys.stderr, flush=True)
+    # a realistic running buffer tail
+    for s in scans[-8:]:
+        sm.add_running_scan(s)
+    t1 = time.time()
+    save_snapshot(m, path)
+    print(f"# prior snapshot {n_nodes} nodes -> {path} "
+          f"(build {t1-t0:.0f}s, save {time.time()-t1:.0f}s)",
+          file=sys.stderr, flush=True)
+    return world
+
+
 def cmd_config4(args) -> int:
     """Localization against a large prior graph (BASELINE config 4):
     build + serialize a big session, then run elastic localization on a
-    fresh pass and report steady localization scans/s."""
+    fresh pass and report steady localization scans/s. --prior-nodes N
+    synthesizes an N-node prior directly (50k-100k scale)."""
     _maybe_cpu()
     import tempfile
 
@@ -260,28 +365,53 @@ def cmd_config4(args) -> int:
     from slam_toolbox_tpu.io.dataset import LidarSimulator, ate_rmse
 
     laser = _laser(args.beam_res)
-    world, aisles, length, pitch = _warehouse()
-    sim = LidarSimulator(world, laser, range_noise=0.01,
-                         odom_noise=(0.012, 0.005), seed=13)
-    laps = 12 if args.full else max(1, args.laps // 2)
-    wps = np.concatenate([_serpentine(aisles, length, pitch)] * laps)
-    data = sim.simulate(wps, step=0.3)
-    print(f"# config4: building prior graph from {len(data)} scans",
-          file=sys.stderr)
-    build = SlamSession(_cfg(), laser, streaming=True,
-                        drain_every=args.drain)
-    for i, (scan, tp) in enumerate(data):
-        build.process_scan(scan.ranges, scan.odom_pose, time=i * 0.1)
-    build.flush()
-    n_nodes = build.mapper.solver.n_nodes
-    snap = os.path.join(tempfile.mkdtemp(), "prior.npz")
-    build.serialize(snap)
-    print(f"# config4: prior graph {n_nodes} nodes -> {snap}",
-          file=sys.stderr)
+    if args.prior_nodes:
+        cache = f"/tmp/slam_prior_{args.prior_nodes}_{laser.n_beams}.npz"
+        snap = cache
+        n_nodes = args.prior_nodes
+        if os.path.exists(cache):
+            per_row = int(60.0 / 0.3)
+            world = _rows_world((n_nodes + per_row - 1) // per_row + 1)
+            print(f"# config4: cached prior {cache}", file=sys.stderr)
+        else:
+            world = build_prior_snapshot(cache, n_nodes, laser)
+        # localization lap: serpentine over the first rows of the big
+        # warehouse (same world, fresh noise)
+        per_row = int(60.0 / 0.3)
+        lap_rows = 4
+        wps = []
+        for row in range(lap_rows):
+            y = row * 2.0 + 1.0
+            if row % 2 == 0:
+                wps += [(1.0, y), (1.0 + 59.7, y)]
+            else:
+                wps += [(1.0 + 59.7, y), (1.0, y)]
+        sim2 = LidarSimulator(world, laser, range_noise=0.01,
+                              odom_noise=(0.012, 0.005), seed=29)
+        data2 = sim2.simulate(np.array(wps), step=0.3)
+    else:
+        world, aisles, length, pitch = _warehouse()
+        sim = LidarSimulator(world, laser, range_noise=0.01,
+                             odom_noise=(0.012, 0.005), seed=13)
+        laps = 12 if args.full else max(1, args.laps // 2)
+        wps = np.concatenate([_serpentine(aisles, length, pitch)] * laps)
+        data = sim.simulate(wps, step=0.3)
+        print(f"# config4: building prior graph from {len(data)} scans",
+              file=sys.stderr)
+        build = SlamSession(_cfg(), laser, streaming=True,
+                            drain_every=args.drain)
+        for i, (scan, tp) in enumerate(data):
+            build.process_scan(scan.ranges, scan.odom_pose, time=i * 0.1)
+        build.flush()
+        n_nodes = build.mapper.solver.n_nodes
+        snap = os.path.join(tempfile.mkdtemp(), "prior.npz")
+        build.serialize(snap)
+        print(f"# config4: prior graph {n_nodes} nodes -> {snap}",
+              file=sys.stderr)
 
-    sim2 = LidarSimulator(world, laser, range_noise=0.01,
-                          odom_noise=(0.012, 0.005), seed=29)
-    data2 = sim2.simulate(_serpentine(aisles, length, pitch), step=0.3)
+        sim2 = LidarSimulator(world, laser, range_noise=0.01,
+                              odom_noise=(0.012, 0.005), seed=29)
+        data2 = sim2.simulate(_serpentine(aisles, length, pitch), step=0.3)
     # localization returns the prior-propagated pose between drains, so
     # the drain cadence bounds the online pose lag: heading drift over an
     # 8-scan lag costs 10-20 cm at these odometry noise levels. With the
@@ -292,8 +422,11 @@ def cmd_config4(args) -> int:
                       drain_every=min(args.drain, 4))
     if os.environ.get("BENCH_STATS") == "1":
         loc.stats.enabled = True
+    t_de = time.time()
     loc.deserialize(snap, MatchType.LOCALIZE_AT_POSE,
                     initial_pose=data2[0][1])
+    print(f"# config4: deserialize {loc.mapper.solver.n_nodes} nodes "
+          f"in {time.time()-t_de:.1f}s", file=sys.stderr, flush=True)
     t0 = time.time()
     lat, err = [], []
     t_prev = t0
@@ -397,6 +530,9 @@ def main() -> int:
                        default=1.0 / 3,
                        help="beam angular resolution in degrees")
         p.add_argument("--sessions", type=int, default=3)
+        p.add_argument("--prior-nodes", dest="prior_nodes", type=int,
+                       default=0, help="config4: synthesize an N-node "
+                       "prior directly (BASELINE scale)")
         p.add_argument("--budget", type=float, default=float(
             os.environ.get("BENCH_BUDGET_S", "600")))
     args = ap.parse_args()

@@ -795,6 +795,10 @@ class PoseGraph:
                 lm, sm_seq, scan, chains, self.mapper.config,
                 pool=getattr(self.mapper, "_pack_pool", None),
             )
+        if hasattr(dev_rows, "copy_to_host_async"):
+            # transfer starts when the verify finishes, not at the
+            # deferred finish's np.asarray round trip
+            dev_rows.copy_to_host_async()
         return (scan, sensor_name, chains, dev_rows, start_id)
 
     def try_close_loop_finish(self, handle) -> bool:

@@ -278,6 +278,17 @@ _chain_match_echo_jit = jax.jit(
 )
 
 
+def _ensure_pooled(pool, scans) -> bool:
+    """Lazily seed pool slots for any of `scans` missing one (big
+    deserialized priors skip eager seeding — mapper/streaming.py
+    POOL_SEED_CAP); returns False if any scan still has no slot (beam
+    mismatch) so the caller can fall back."""
+    missing = [s for s in scans if getattr(s, "_pool_slot", None) is None]
+    if missing:
+        pool.add_scans(missing)
+    return all(getattr(s, "_pool_slot", None) is not None for s in scans)
+
+
 def dispatch_chain_matches_spec(seq_matcher, pairs, pool, results):
     """Speculative dispatch: pairs = [(query_scan, ring_row, chain)];
     `results` is the IN-FLIGHT batch result ring. Returns the device
@@ -286,12 +297,11 @@ def dispatch_chain_matches_spec(seq_matcher, pairs, pool, results):
     exceeds one chunk."""
     if pool is None or not pairs or len(pairs) > PAIR_CHUNK:
         return None
-    for q, _, chain in pairs:
-        if getattr(q, "_pool_slot", None) is None:
-            return None
-        for sc in chain:
-            if getattr(sc, "_pool_slot", None) is None:
-                return None
+    involved = [q for q, _, _ in pairs] + [
+        sc for _, _, chain in pairs for sc in chain
+    ]
+    if not _ensure_pooled(pool, involved):
+        return None
     NP = (2 if len(pairs) <= 2
           else 8 if len(pairs) <= 8 else PAIR_CHUNK)
     Cb = max(chain_bucket(len(c)) for _, _, c in pairs)
@@ -332,12 +342,11 @@ def dispatch_chain_matches(seq_matcher, pairs, pool):
     the per-chain dispatch path)."""
     if pool is None or not pairs:
         return None
-    for q, chain in pairs:
-        if getattr(q, "_pool_slot", None) is None:
-            return None
-        for sc in chain:
-            if getattr(sc, "_pool_slot", None) is None:
-                return None
+    involved = [q for q, _ in pairs] + [
+        sc for _, chain in pairs for sc in chain
+    ]
+    if not _ensure_pooled(pool, involved):
+        return None
     out = []
     for k0 in range(0, len(pairs), PAIR_CHUNK):
         chunk = pairs[k0:k0 + PAIR_CHUNK]
@@ -421,9 +430,8 @@ def dispatch_loop_verify(loop_matcher, seq_matcher, scan, chains, cfg,
     Cb = max(chain_bucket(len(c)) for c in chains)
     n_pose = np.zeros((NC, Cb, 3), np.float32)
     n_valid = np.zeros((NC, Cb), bool)
-    pooled = pool is not None and all(
-        getattr(sc, "_pool_slot", None) is not None
-        for c in chains for sc in c
+    pooled = pool is not None and _ensure_pooled(
+        pool, [sc for c in chains for sc in c]
     )
     for ci, chain in enumerate(chains):
         for i, sc in enumerate(chain):

@@ -46,6 +46,19 @@ PIPELINED = _os.environ.get("SLAM_STREAM_PIPELINE", "1") != "0"
 # speculative near-chain matching (rides the batch fetch); 0 disables for
 # A/B timing — misses then go through the per-drain redispatch path
 SPECULATE = _os.environ.get("SLAM_SPEC", "1") != "0"
+# adaptive drain ordering: when a deferred loop-closure verify (or a
+# pending resync) exists at drain time, its closure will move poses with
+# high probability — the pipelined order would then re-run BOTH in-flight
+# batches from the refreshed state (measured 3x batch device time per
+# drain on closure-heavy loops, drain_fetch 1010 ms vs 450 ms of batch
+# time). Settle-first serial ordering dispatches each batch exactly once
+# from post-closure state; corridor drains (no deferred closure) keep the
+# pipelined overlap. SLAM_ADAPTIVE=0 disables for A/B.
+ADAPTIVE = _os.environ.get("SLAM_ADAPTIVE", "1") != "0"
+# eager pool-seeding cap for deserialized priors (scans); larger priors
+# seed lazily at the chain-dispatch sites (~283 MB device residency max
+# at the default; BASELINE config 4's 50k-100k-node priors stay lazy)
+POOL_SEED_CAP = int(_os.environ.get("SLAM_POOL_SEED_CAP", "8192"))
 
 
 class _PendingDrain:
@@ -479,13 +492,23 @@ class StreamingPipeline:
         # bumped by refresh_state: lets drain() detect that the device
         # chain its freshly dispatched batch rode was rebuilt mid-commit
         self._state_epoch = 0
+        # adaptive-drain hysteresis: True while loop events keep finding
+        # candidate chains (closures likely -> settle-first ordering);
+        # cleared when a loop event comes up empty
+        self._loop_hot = False
         self.pack_pool = PackPool(self.B)
         mapper._pack_pool = self.pack_pool  # loop verify gathers from it
         # seed with any pre-existing scans (deserialized prior graphs):
         # localization's near-chain / loop-verify work references them
-        # constantly
+        # constantly. Big priors (BASELINE config 4: 50k-100k nodes) are
+        # seeded LAZILY instead — eager seeding would upload ~34 KB/scan
+        # (1.7 GB at 50k) through the tunnel at init; the dispatch sites
+        # (kernels/loop_verify) add the scans a chain actually touches,
+        # so device residency grows with the visited area only.
         if mapper.sensor_manager is not None:
-            self.pack_pool.add_scans(mapper.all_processed_scans())
+            prior = mapper.all_processed_scans()
+            if len(prior) <= POOL_SEED_CAP:
+                self.pack_pool.add_scans(prior)
 
     def warm(self) -> None:
         """Compile the batch program without touching pipeline state (a
@@ -669,6 +692,8 @@ class StreamingPipeline:
         drain_every=1 the commit sequence is exactly the classic per-scan
         path (tested equivalence)."""
         if not self.pipelined:
+            # pure serial (SLAM_STREAM_PIPELINE=0, A/B): settle + inline
+            # dispatch/fetch/commit
             self.settle()
             if not self.pending:
                 return
@@ -683,6 +708,25 @@ class StreamingPipeline:
         scans = self.pending
         n = len(scans)
         self.pending = []
+        # adaptive ordering: while loop events keep producing candidate
+        # chains (= closures likely move poses), commit + settle BEFORE
+        # dispatching so every batch runs exactly once from post-closure
+        # state. The dispatch-first order below would re-run every
+        # in-flight batch after each closure (measured 3x batch device
+        # time per drain: drain_fetch 984 ms vs 419 ms of batch time,
+        # scripts/exp_drain_decomp2.py / exp_pipe_ab.py).
+        settle_first = ADAPTIVE and (
+            self._deferred_loop is not None
+            or self._needs_resync
+            or self._loop_hot
+        )
+        if settle_first:
+            with stage_timer(self.mapper.stats, "commit_total"):
+                self._commit()  # previous batch: fetch+bookkeep+verify
+            self._settle_deferred()  # wait the verify it just dispatched
+            if self._needs_resync:
+                self.refresh_state()
+                self._needs_resync = False
         with stage_timer(self.mapper.stats, "batch_dispatch"):
             packs, odoms = self._dispatch_batch(scans)
         pd = _PendingDrain(
@@ -693,22 +737,26 @@ class StreamingPipeline:
         # gate the next accumulation against the newest DISPATCHED scan
         # (its host bookkeeping hasn't run yet, so sm.last_scan is stale)
         self._last_gate_scan = scans[-1]
-        epoch0 = self._state_epoch
-        with stage_timer(self.mapper.stats, "commit_total"):
-            self._commit()  # previous batch's bookkeeping; overlaps device
-        if self._needs_resync:
-            self.refresh_state()
-            self._needs_resync = False
-        if self._state_epoch != epoch0:
-            # the device chain this batch rode was rebuilt mid-commit:
-            # re-run it from the authoritative state
-            self.state = self._run_batch(
-                self.state, pd.packs, pd.odoms, jnp.int32(n)
-            )
-            pd.start = self._dispatched_since_refresh
-            self._dispatched_since_refresh += n
-            pd.results = self.state["results"]
+        if not settle_first:
+            epoch0 = self._state_epoch
+            with stage_timer(self.mapper.stats, "commit_total"):
+                self._commit()  # previous batch's bookkeeping; overlaps
+            if self._needs_resync:
+                self.refresh_state()
+                self._needs_resync = False
+            if self._state_epoch != epoch0:
+                # the device chain this batch rode was rebuilt mid-commit:
+                # re-run it from the authoritative state
+                self.state = self._run_batch(
+                    self.state, pd.packs, pd.odoms, jnp.int32(n)
+                )
+                pd.start = self._dispatched_since_refresh
+                self._dispatched_since_refresh += n
+                pd.results = self.state["results"]
         self._dispatch_spec(pd)
+        tgt = pd.spec if pd.spec is not None else pd.results
+        if hasattr(tgt, "copy_to_host_async"):
+            tgt.copy_to_host_async()
         self._pending_drain = pd
 
     def _dispatch_spec(self, pd) -> None:
@@ -888,6 +936,12 @@ class StreamingPipeline:
                 spec = lv.dispatch_chain_matches_spec(
                     self.matcher, spairs, self.pack_pool, results
                 )
+        # request the device->host transfer NOW: it starts the moment the
+        # program finishes instead of on the host's np.asarray round trip
+        # (~25 ms tunnel RTT per drain saved)
+        tgt = spec if spec is not None else results
+        if hasattr(tgt, "copy_to_host_async"):
+            tgt.copy_to_host_async()
         with stage_timer(stats, "drain_fetch"):
             if spec is not None:
                 spec.block_until_ready()
@@ -1076,13 +1130,21 @@ class StreamingPipeline:
                         handle = graph.try_close_loop_begin(
                             last_scan, names[0]
                         )
+                    # adaptive hysteresis: candidate chains present ->
+                    # closures likely -> settle-first ordering next drain
+                    self._loop_hot = bool(handle) or not isinstance(
+                        handle, bool
+                    )
                     if isinstance(handle, bool):
                         any_closed |= handle
                     else:
                         self._deferred_loop = handle
                 else:
                     with stage_timer(stats, "loop_closure"):
+                        hot = False
                         for name in names:
                             if graph.try_close_loop(last_scan, name):
                                 any_closed = True
+                                hot = True
+                        self._loop_hot = hot
         return moved_uids, any_closed, buffer_changed
