@@ -249,17 +249,33 @@ def cmd_config3(args) -> int:
 
 
 def _rows_world(n_rows: int, width: float = 62.0):
-    """Big warehouse as horizontal broken-shelving rows every 2 m (the
-    bench_merge500k generator): locally distinctive scans, scales to
-    arbitrarily many rows."""
+    """Big warehouse as horizontal broken-shelving rows every 2 m,
+    scalable to arbitrarily many rows. Gap phases and box clutter vary
+    per row: without longitudinal texture, correlative matching slides
+    along the aisle (observed as multi-meter localization drift — the
+    shelving is periodic every 7 m)."""
     from slam_toolbox_tpu.io.dataset import SegmentWorld
 
     segs = []
     for row in range(n_rows):
         y = row * 2.0 - 1.0
-        for x0 in np.arange(-1.0, width, 7.0):
-            segs.append((x0 + 0.3 * (row % 3), y,
-                         min(x0 + 5.5, width), y))
+        phase = (row * 1.7) % 7.0
+        # clear corridors at both x ends: the serpentine transitions rows
+        # there (simulate() rejects wall-crossing trajectories)
+        for x0 in np.arange(-1.0 + phase - 7.0, width, 7.0):
+            a = max(x0, 2.5)
+            b = min(x0 + 5.5, width - 2.5)
+            if b > a:
+                segs.append((a, y, b, y))
+        # boxes jutting out of the shelving at irregular x (deterministic
+        # per row): depth discontinuities pin the along-aisle alignment
+        xb = 3.5 + ((row * 13) % 11)
+        while xb < width - 3.5:
+            d = 0.3 + 0.15 * ((row + int(xb)) % 3)
+            segs.append((xb, y, xb, y + d))
+            segs.append((xb, y + d, xb + 0.7, y + d))
+            segs.append((xb + 0.7, y + d, xb + 0.7, y))
+            xb += 6.3 + ((row * 7 + int(xb) * 3) % 5)
     segs.append((-1.0, -1.0, -1.0, n_rows * 2.0))
     segs.append((width, -1.0, width, n_rows * 2.0))
     return SegmentWorld(np.array(segs, dtype=np.float64))
@@ -314,7 +330,7 @@ def build_prior_snapshot(path, n_nodes, laser, seed=7):
     t0 = time.time()
     for i in range(n_nodes):
         row, k = divmod(i, per_row)
-        y = row * 2.0 + 1.0
+        y = row * 2.0  # mid-aisle: shelving lines are at odd y
         x = 1.0 + k * step if row % 2 == 0 else 1.0 + (per_row - 1 - k) * step
         th = 0.0 if row % 2 == 0 else np.pi
         gt = np.array([x, y, th])
@@ -381,7 +397,7 @@ def cmd_config4(args) -> int:
         lap_rows = 4
         wps = []
         for row in range(lap_rows):
-            y = row * 2.0 + 1.0
+            y = row * 2.0  # mid-aisle, same lines the prior drove
             if row % 2 == 0:
                 wps += [(1.0, y), (1.0 + 59.7, y)]
             else:

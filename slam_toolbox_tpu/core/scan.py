@@ -270,3 +270,50 @@ class LocalizedScan:
             allp = np.concatenate([sp[None, :], pts], axis=0)
             self._bbox = np.stack([allp.min(axis=0), allp.max(axis=0)])
         return self._bbox
+
+
+class LocalizedPointScan(LocalizedScan):
+    """A scan whose beam endpoints are supplied directly, in the ROBOT
+    frame (LocalizedRangeScanWithPoints, Karto.h:5777-5861) — for sensors
+    whose driver already outputs cartesian points (e.g. converted point
+    clouds with per-point corrections the polar model cannot express).
+
+    Behavioral parity with the reference subclass's Update():
+    - world points transform the given points by the CORRECTED ROBOT pose
+      (Karto.h:5827-5830) — expressed here by storing the points rotated
+      into the sensor frame once, so the base class's
+      sensor_pose-composed projection yields the identical world result
+      (corrected ∘ offset ∘ offset⁻¹ ∘ p == corrected ∘ p, exactly);
+    - non-finite points are carried but excluded (Karto.h:5819-5824);
+    - barycenter/bounding box use ALL finite points (no range-threshold
+      filtering, unlike the base class: Karto.h:5838-5855) — overridden
+      via filtered_mask.
+    """
+
+    __slots__ = ("robot_points",)
+
+    def __init__(self, laser: LaserConfig, ranges, robot_points,
+                 odom_pose, time: float = 0.0):
+        super().__init__(laser, ranges, odom_pose, time=time)
+        pts = np.asarray(robot_points, dtype=np.float64)
+        if pts.shape != (laser.n_beams, 2):
+            raise ValueError(
+                f"robot_points must be ({laser.n_beams}, 2), got {pts.shape}"
+            )
+        self.robot_points = pts
+        # rotate into the sensor frame: local = R(-oh) @ (p - ot)
+        ox, oy, oh = _offset_np(laser)
+        c, s = np.cos(oh), np.sin(oh)
+        dx = pts[:, 0] - ox
+        dy = pts[:, 1] - oy
+        self._local_pts = np.stack(
+            [c * dx + s * dy, -s * dx + c * dy], axis=-1
+        )
+
+    @property
+    def filtered_mask(self) -> np.ndarray:
+        """All finite points participate in barycenter/bbox — the
+        WithPoints Update() applies no range filtering (Karto.h:5813)."""
+        if self._filtered is None:
+            self._filtered = np.all(np.isfinite(self.robot_points), axis=1)
+        return self._filtered

@@ -151,8 +151,9 @@ class PoseGraph:
         if self._q_xy_stale:
             use_bc = self.mapper.config.use_scan_barycenter
             if self._q_xy_stale == "ALL":
-                for i, s in enumerate(self._q_scans):
-                    self._q_xy[i] = s.reference_pose(use_bc)[:2]
+                if not self._refresh_xy_vectorized(use_bc):
+                    for i, s in enumerate(self._q_scans):
+                        self._q_xy[i] = s.reference_pose(use_bc)[:2]
             else:
                 for uid in self._q_xy_stale:
                     i = self._q_uid_to_idx.get(uid)
@@ -161,7 +162,13 @@ class PoseGraph:
                             self._q_scans[i].reference_pose(use_bc)[:2]
                         )
             self._q_xy_stale = set()
-        if self._q_csr is None or self._q_csr_ne != self._q_ne:
+        # CSR maintenance is two-tier: a base CSR (argsort build, O(E log
+        # E) — ~25 ms at 100k edges) plus a cheap augmentation that
+        # np.inserts the edges added since (O(E) memcpy, ~1 ms). Every
+        # drained scan adds edges between _query_structure calls, so the
+        # old rebuild-on-any-change ran the argsort ~6x per drain — 60% of
+        # commit_bookkeep at a 50k-node localization prior.
+        if self._q_csr is None or self._q_ne - self._q_csr_ne > 4096:
             ne = self._q_ne
             src = self._q_esrc[:ne]
             dst = self._q_edst[:ne]
@@ -174,11 +181,75 @@ class PoseGraph:
             indices = both_dst[order]
             self._q_csr = (indptr, indices)
             self._q_csr_ne = ne
-        indptr, indices = self._q_csr
+            self._q_aug = None
+            self._q_aug_ne = -1
+        if self._q_ne == self._q_csr_ne:
+            indptr, indices = self._q_csr
+        else:
+            if getattr(self, "_q_aug_ne", -1) != self._q_ne or (
+                self._q_aug is not None and len(self._q_aug[0]) != n + 1
+            ):
+                indptr0, indices0 = self._q_csr
+                if len(indptr0) < n + 1:  # vertices added since the build
+                    indptr0 = np.concatenate([
+                        indptr0,
+                        np.full(n + 1 - len(indptr0), indptr0[-1]),
+                    ])
+                es = self._q_esrc[self._q_csr_ne:self._q_ne]
+                ed = self._q_edst[self._q_csr_ne:self._q_ne]
+                bsrc = np.concatenate([es, ed])
+                bdst = np.concatenate([ed, es])
+                # np.insert keeps same-position values in given order, so
+                # extras must arrive row-grouped: rows past the base
+                # build's node count all share the tail position
+                order = np.argsort(bsrc, kind="stable")
+                bsrc = bsrc[order]
+                bdst = bdst[order]
+                cnt = np.bincount(bsrc, minlength=n)
+                indptr = indptr0 + np.concatenate(
+                    [[0], np.cumsum(cnt)]
+                )
+                indices = np.insert(indices0, indptr0[bsrc + 1], bdst)
+                self._q_aug = (indptr, indices)
+                self._q_aug_ne = self._q_ne
+            indptr, indices = self._q_aug
         return (
             self._q_scans, self._q_uid_to_idx, self._q_xy[:n],
             self._q_present[:n], indptr, indices,
         )
+
+    def _refresh_xy_vectorized(self, use_bc: bool) -> bool:
+        """Vectorized whole-structure xy refresh (after CorrectPoses moves
+        every pose): one numpy pass over corrected poses + cached local
+        barycenters instead of 50k reference_pose property recomputes
+        (~0.5 s at a BASELINE-config-4 prior). Single-sensor barycenter
+        path only; returns False to fall back per scan. cos/sin of the
+        composed heading are wrap-invariant, so results match
+        reference_pose to f64 rounding."""
+        scans = self._q_scans
+        n = len(scans)
+        if not use_bc or n < 512 or len(self.vertices) != 1 or not scans:
+            return False
+        off = np.asarray(scans[0].laser.offset_pose, np.float64)
+        cp = np.array([s.corrected_pose for s in scans])
+        c, s_ = np.cos(cp[:, 2]), np.sin(cp[:, 2])
+        sx = cp[:, 0] + c * off[0] - s_ * off[1]
+        sy = cp[:, 1] + s_ * off[0] + c * off[1]
+        sh = cp[:, 2] + off[2]
+        lb = np.empty((n, 2))
+        ok = np.ones(n, bool)
+        for i, s in enumerate(scans):
+            b = s._local_bary
+            if b is None or b is False:
+                ok[i] = False
+            else:
+                lb[i] = b
+        ch, shn = np.cos(sh), np.sin(sh)
+        self._q_xy[:n, 0] = sx + ch * lb[:, 0] - shn * lb[:, 1]
+        self._q_xy[:n, 1] = sy + shn * lb[:, 0] + ch * lb[:, 1]
+        for i in np.flatnonzero(~ok):
+            self._q_xy[i] = scans[i].reference_pose(use_bc)[:2]
+        return True
 
     # -- vertex / edge primitives ------------------------------------------
     def add_vertex(self, scan) -> None:
@@ -660,6 +731,110 @@ class PoseGraph:
             out.append(chains)
         return out
 
+    def predict_loop_chains(self, pending, anchor, sensor_name,
+                            pred_chains=None):
+        """Dispatch-time simulation of _sweep_chains for the batch's
+        NEWEST scan (the one the streaming drain attempts loop closure
+        on): the query structure is extended with the pending scans at
+        their odometry-propagated poses (predict_near_chains must have
+        run on this batch first — it writes those predicted poses), the
+        exclusion BFS reaches the graph through the pending chain, and
+        the native candidate sweep enumerates the chains the real
+        FindPossibleLoopClosure sweep (Mapper.cpp:1960-2010) would emit.
+        Used to dispatch the fused loop verify WITH the batch program;
+        the commit validates chain identity and pose stability and
+        redispatches on mismatch, so closures are bit-identical either
+        way. Returns a list of chains or None when unavailable."""
+        from slam_toolbox_tpu import native
+
+        cfg = self.mapper.config
+        name = pending[-1].laser.name
+        if (
+            native.get_lib() is None
+            or anchor is None
+            or sensor_name != name
+            or len(self.vertices) != 1
+            or name not in self.vertices
+            or any(s.laser.name != name for s in pending)
+        ):
+            return None
+        (scans, uid_to_idx, xy, present, indptr,
+         indices) = self._query_structure()
+        anchor_slot = uid_to_idx.get(anchor.unique_id)
+        if anchor_slot is None:
+            return None
+        n0 = len(scans)
+        m = len(pending)
+        use_bc = cfg.use_scan_barycenter
+
+        ext_xy = np.zeros((n0 + m, 2))
+        ext_xy[:n0] = xy
+        for i, s in enumerate(pending):
+            # predicted corrected poses were set by predict_near_chains
+            ext_xy[n0 + i] = s.reference_pose(use_bc)[:2]
+        ext_indptr = np.zeros(n0 + m + 1, np.int64)
+        ext_indptr[: n0 + 1] = indptr
+        max_link_sq = cfg.link_scan_maximum_distance**2 + 1e-6
+        new_rows = []
+        for i in range(m):
+            row = [anchor_slot if i == 0 else n0 + i - 1]
+            if i + 1 < m:
+                row.append(n0 + i + 1)
+            # the drain's bookkeeping will also LinkChainToScan each
+            # accepted near chain (closest member within link range,
+            # Mapper.cpp:1663-1681) — without these edges the exclusion
+            # BFS misses the connectivity the real sweep sees and the
+            # prediction systematically over-produces candidates
+            # (measured 9/10 misses on the lap workload)
+            if pred_chains is not None and i < len(pred_chains):
+                for chain in pred_chains[i] or []:
+                    best, best_sq = None, np.inf
+                    p = ext_xy[n0 + i]
+                    for sc in chain:
+                        j = uid_to_idx.get(sc.unique_id)
+                        if j is None:
+                            continue
+                        d = p - xy[j]
+                        sq = d[0] * d[0] + d[1] * d[1]
+                        if sq < best_sq:
+                            best_sq, best = sq, j
+                    if best is not None and best_sq < max_link_sq:
+                        row.append(best)
+            new_rows.append(row)
+            ext_indptr[n0 + i + 1] = ext_indptr[n0 + i] + len(row)
+        ext_indices = np.concatenate(
+            [indices] + [np.asarray(r, np.int64) for r in new_rows]
+        )
+        ext_present = np.zeros(n0 + m, np.uint8)
+        ext_present[:n0] = present
+        ext_present[n0:] = 1
+
+        center = ext_xy[n0 + m - 1]
+        order = native.bfs_within_radius(
+            ext_xy, ext_present, ext_indptr, ext_indices, n0 + m - 1,
+            center, cfg.loop_search_maximum_distance,
+        )
+        near = np.zeros(n0 + m, np.uint8)
+        near[order] = 1
+        slots = np.asarray(self._q_by_name.get(sensor_name, []), np.int64)
+        if len(slots) == 0:
+            return []
+        sxy = np.ascontiguousarray(ext_xy[slots])
+        spresent = np.ascontiguousarray(present[slots])
+        snear = np.ascontiguousarray(near[slots])
+        chains = []
+        start = 0
+        while True:
+            chain_slots, start = native.loop_candidate_sweep(
+                sxy, spresent, snear, center,
+                cfg.loop_search_maximum_distance,
+                cfg.loop_match_minimum_chain_size, start,
+            )
+            if not len(chain_slots):
+                break
+            chains.append([scans[slots[j]] for j in chain_slots])
+        return chains
+
     def find_possible_loop_closure(self, scan, sensor_name, start_id: int):
         """FindPossibleLoopClosure (Mapper.cpp:1960-2010): sweep state ids
         collecting candidates within loop search distance that are NOT
@@ -770,7 +945,7 @@ class PoseGraph:
         sm_seq = self.mapper.sequential_matcher
         return bool(lm.use_pallas and sm_seq.use_pallas)
 
-    def try_close_loop_begin(self, scan, sensor_name):
+    def try_close_loop_begin(self, scan, sensor_name, spec=None):
         """Asynchronous first half of TryCloseLoop for the streaming
         drain: sweep the candidate chains and DISPATCH the fused verify
         program without waiting on it. Returns a bool when the attempt
@@ -779,7 +954,14 @@ class PoseGraph:
         handle for try_close_loop_finish. Deferring the fetch lets the
         verify's device time overlap the next batch's host-side
         accumulation; the finish runs before any later bookkeeping reads
-        or moves poses, so results are identical to the blocking call."""
+        or moves poses, so results are identical to the blocking call.
+
+        `spec` = (pred_chains, dev_rows): a speculative verify that rode
+        the batch program (kernels/loop_verify.dispatch_loop_verify_spec).
+        When the real sweep produces exactly the predicted chains, the
+        prefetched rows are used and no dispatch happens; the caller
+        guarantees the query's pose was not moved after the ring row the
+        speculative center was read from (bit-identical rows either way)."""
         from slam_toolbox_tpu.kernels import loop_verify as lv
         from slam_toolbox_tpu.utils.metrics import stage_timer
 
@@ -790,6 +972,24 @@ class PoseGraph:
         chains, start_id = self._sweep_chains(scan, sensor_name, 0)
         if not chains:
             return False
+        if spec is not None:
+            pred_chains, dev_rows, pose_snap = spec
+            pred_ids = [
+                tuple(s.unique_id for s in c) for c in pred_chains
+            ]
+            actual_ids = [tuple(s.unique_id for s in c) for c in chains]
+            stable = pred_ids == actual_ids and all(
+                np.array_equal(
+                    pose_snap[ci, i],
+                    np.asarray(sc.sensor_pose, np.float32),
+                )
+                for ci, chain in enumerate(chains)
+                for i, sc in enumerate(chain)
+            )
+            if stable:
+                self.mapper.stats.count("spec_loop_hit")
+                return (scan, sensor_name, chains, dev_rows, start_id)
+            self.mapper.stats.count("spec_loop_miss")
         with stage_timer(self.mapper.stats, "loop_verify_dispatch"):
             dev_rows = lv.dispatch_loop_verify(
                 lm, sm_seq, scan, chains, self.mapper.config,

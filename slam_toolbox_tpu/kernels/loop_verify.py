@@ -181,6 +181,117 @@ _loop_verify_jit = jax.jit(
 )
 
 
+def _loop_verify_spec_impl(
+    pool, results, qidx, ridx,
+    cidx, cvalid, poses,               # (NC, Cb), (NC, Cb), (NC, Cb, 3)
+    gates,
+    loop_args: dict, seq_args: dict,
+    loop_sigma, seq_sigma, loop_half_span, seq_half_span,
+    loop_G: int, loop_hk: int, loop_acc_r: int, loop_parity: bool,
+    loop_na_c: int, loop_na_f: int,
+    seq_G: int, seq_hk: int, seq_acc_r: int, seq_parity: bool,
+    seq_na_c: int, seq_na_f: int,
+):
+    """Speculative variant of _loop_verify_scan_impl, dispatched WITH the
+    streaming batch program: the query's local points come from its pack
+    pool slot (bit-identical to kernels/match._scan_device_cache: both
+    are nan_to_num(f32 local) + isfinite(ranges)), and the verify center
+    is read from the batch result ring ON DEVICE (results[ridx, 1:4] is
+    the exact post-match sensor pose the host would pass, f32 round-trip
+    exact). The host validates at commit time that the predicted chains
+    equal the real sweep and that nothing moved the query's pose (chain
+    fusion / closure); on mismatch the normal dispatch path re-runs, so
+    closure decisions are bit-identical either way."""
+    qpack = pool[qidx]
+    scan_local = qpack[:, 0:2]
+    scan_finite = (qpack[:, 7].astype(jnp.int32) & 1) > 0
+    center = results[ridx, 1:4]
+    packs = pool[cidx]                 # (NC, Cb, B, 8)
+
+    def step(carry, inp):
+        pk, ps, cv = inp
+        row = _loop_verify_impl(
+            pk, ps, cv, scan_local, scan_finite, center, gates,
+            loop_args=loop_args, seq_args=seq_args,
+            loop_sigma=loop_sigma, seq_sigma=seq_sigma,
+            loop_half_span=loop_half_span, seq_half_span=seq_half_span,
+            loop_G=loop_G, loop_hk=loop_hk, loop_acc_r=loop_acc_r,
+            loop_parity=loop_parity, loop_na_c=loop_na_c,
+            loop_na_f=loop_na_f,
+            seq_G=seq_G, seq_hk=seq_hk, seq_acc_r=seq_acc_r,
+            seq_parity=seq_parity, seq_na_c=seq_na_c, seq_na_f=seq_na_f,
+        )
+        return carry, row
+
+    _, rows = jax.lax.scan(step, 0, (packs, poses, cvalid))
+    return rows  # (NC, 27)
+
+
+_loop_verify_spec_jit = jax.jit(
+    _loop_verify_spec_impl,
+    static_argnames=(
+        "loop_G", "loop_hk", "loop_acc_r", "loop_parity",
+        "loop_na_c", "loop_na_f",
+        "seq_G", "seq_hk", "seq_acc_r", "seq_parity",
+        "seq_na_c", "seq_na_f",
+    ),
+)
+
+
+def dispatch_loop_verify_spec(loop_matcher, seq_matcher, scan, ridx,
+                              chains, cfg, pool, results):
+    """Dispatch the fused verify for PREDICTED chains right after the
+    batch+echo programs (see _loop_verify_spec_impl). Returns the
+    in-flight (n_chains, 27) device rows or None when a pool slot is
+    missing."""
+    if pool is None or not chains:
+        return None
+    if not _ensure_pooled(
+        pool, [scan] + [sc for c in chains for sc in c]
+    ):
+        return None
+    gates = jnp.asarray(np.array([
+        cfg.loop_match_minimum_response_coarse,
+        cfg.loop_match_maximum_variance_coarse,
+    ], np.float32))
+    NC = chain_count_bucket(len(chains))
+    Cb = max(chain_bucket(len(c)) for c in chains)
+    idx = np.zeros((NC, Cb), np.int32)   # slot 0 is the zero row
+    n_pose = np.zeros((NC, Cb, 3), np.float32)
+    n_valid = np.zeros((NC, Cb), bool)
+    for ci, chain in enumerate(chains):
+        for i, sc in enumerate(chain):
+            idx[ci, i] = sc._pool_slot
+            n_pose[ci, i] = sc.sensor_pose
+            n_valid[ci, i] = True
+    rows = _loop_verify_spec_jit(
+        pool.buf, results, jnp.int32(scan._pool_slot), jnp.int32(ridx),
+        jnp.asarray(idx), jnp.asarray(n_valid), jnp.asarray(n_pose),
+        gates,
+        loop_args=dict(loop_matcher._score_args),
+        seq_args=dict(seq_matcher._score_args),
+        loop_sigma=np.float32(loop_matcher.sigma_cells),
+        seq_sigma=np.float32(seq_matcher.sigma_cells),
+        loop_half_span=np.float32(
+            0.5 * (loop_matcher.G - 1) * loop_matcher.resolution),
+        seq_half_span=np.float32(
+            0.5 * (seq_matcher.G - 1) * seq_matcher.resolution),
+        loop_G=loop_matcher.G, loop_hk=loop_matcher.half_kernel,
+        loop_acc_r=loop_matcher._acc_r,
+        loop_parity=loop_matcher.use_pallas,
+        loop_na_c=loop_matcher._na_coarse,
+        loop_na_f=loop_matcher._na_fine,
+        seq_G=seq_matcher.G, seq_hk=seq_matcher.half_kernel,
+        seq_acc_r=seq_matcher._acc_r,
+        seq_parity=seq_matcher.use_pallas,
+        seq_na_c=seq_matcher._na_coarse,
+        seq_na_f=seq_matcher._na_fine,
+    )
+    # pose snapshot lets the validator prove the chains did not move
+    # between dispatch and the real sweep (bit-exact f32 compare)
+    return rows[:len(chains)], n_pose
+
+
 def _chain_match_impl(
     pool, qidx, cidx, cvalid, poses, centers,
     seq_args: dict, seq_sigma, seq_half_span,

@@ -59,13 +59,20 @@ ADAPTIVE = _os.environ.get("SLAM_ADAPTIVE", "1") != "0"
 # seed lazily at the chain-dispatch sites (~283 MB device residency max
 # at the default; BASELINE config 4's 50k-100k-node priors stay lazy)
 POOL_SEED_CAP = int(_os.environ.get("SLAM_POOL_SEED_CAP", "8192"))
+# speculative loop verify: predict the newest scan's candidate chains at
+# dispatch time and run the fused verify WITH the batch program (its
+# ~100-120 ms execution otherwise sits on the settle-first critical
+# path); the commit validates chain identity + pose stability and
+# redispatches on mismatch. SLAM_SPEC_LOOP=0 disables for A/B.
+SPEC_LOOP = _os.environ.get("SLAM_SPEC_LOOP", "1") != "0"
 
 
 class _PendingDrain:
     """One dispatched-but-uncommitted batch (pipelined drains)."""
 
     __slots__ = ("scans", "packs", "odoms", "start", "results",
-                 "spec", "pred_chains", "spec_offsets")
+                 "spec", "pred_chains", "spec_offsets",
+                 "spec_loop", "pred_loop", "spec_loop_poses")
 
     def __init__(self, scans, packs, odoms, start, results):
         self.scans = scans
@@ -76,6 +83,9 @@ class _PendingDrain:
         self.spec = None          # in-flight speculative chain-match echo
         self.pred_chains = None
         self.spec_offsets = {}
+        self.spec_loop = None     # in-flight speculative loop verify rows
+        self.pred_loop = None     # the predicted candidate chains
+        self.spec_loop_poses = None
 
 
 def _unpack_scan(pack):
@@ -805,6 +815,29 @@ class StreamingPipeline:
                 pd.spec_offsets = spec_offsets
             else:
                 stats.count("spec_dispatch_abort")
+        # speculative loop verify for the batch's newest scan: rides the
+        # same device stream, its rows are ready by the next commit's
+        # settle so the settle-first ordering pays only the solve
+        if (SPEC_LOOP and self.mapper.config.do_loop_closing
+                and any(c is not None for c in pred_chains)):
+            pred_loop = self.mapper.graph.predict_loop_chains(
+                pd.scans, anchor, pd.scans[-1].laser.name,
+                pred_chains=pred_chains,
+            )
+            if pred_loop:
+                out = lv.dispatch_loop_verify_spec(
+                    self.mapper.loop_matcher, self.matcher,
+                    pd.scans[-1],
+                    (pd.start + len(pd.scans) - 1) % cap,
+                    pred_loop, self.mapper.config,
+                    self.pack_pool, pd.results,
+                )
+                if out is not None:
+                    pd.spec_loop, pd.spec_loop_poses = out
+                    pd.pred_loop = pred_loop
+                    if hasattr(pd.spec_loop, "copy_to_host_async"):
+                        pd.spec_loop.copy_to_host_async()
+                    stats.count("spec_loop_dispatched")
 
     def _settle_deferred(self) -> bool:
         """Finish the deferred loop closure dispatched by the previous
@@ -857,6 +890,8 @@ class StreamingPipeline:
             pd.spec = None
             pd.pred_chains = None
             pd.spec_offsets = {}
+            pd.spec_loop = None
+            pd.pred_loop = None
         cap = self.result_cap
         with stage_timer(self.mapper.stats, "drain_fetch"):
             if pd.spec is not None:
@@ -869,9 +904,13 @@ class StreamingPipeline:
                 res_np = np.asarray(pd.results, np.float64)
                 spec_np = None
         with stage_timer(self.mapper.stats, "commit_bookkeep"):
+            spec_loop = (
+                (pd.pred_loop, pd.spec_loop, pd.spec_loop_poses)
+                if pd.spec_loop is not None else None
+            )
             moved_uids, any_closed, buffer_changed = self._bookkeep(
                 pd.scans, pd.start, res_np, spec_np,
-                pd.pred_chains, pd.spec_offsets,
+                pd.pred_chains, pd.spec_offsets, spec_loop,
             )
         self._flag_resync(pd.scans, moved_uids, any_closed, buffer_changed)
 
@@ -967,7 +1006,7 @@ class StreamingPipeline:
             self._needs_resync = False
 
     def _bookkeep(self, scans, start, res_np, spec_np, pred_chains,
-                  spec_offsets):
+                  spec_offsets, spec_loop=None):
         """Replay standard graph bookkeeping for a fetched batch in two
         phases (host links + async near-chain dispatch, then one batched
         wait + link/fuse), with one loop-closure attempt on the newest
@@ -1126,9 +1165,19 @@ class StreamingPipeline:
                 last_scan = scans[-1]
                 names = sm.sensor_names()
                 if len(names) == 1:
+                    # speculative verify rows are usable only when the
+                    # center they rode (the newest scan's ring row) is
+                    # still its pose: fusion did not move it and the
+                    # match applied (response > 0)
+                    spec = None
+                    if (spec_loop is not None
+                            and last_scan.unique_id not in moved_uids
+                            and res_np[(start + n - 1) % cap][0] > 0.0):
+                        pred_loop, rows, snap = spec_loop
+                        spec = (pred_loop, rows, snap)
                     with stage_timer(stats, "loop_closure"):
                         handle = graph.try_close_loop_begin(
-                            last_scan, names[0]
+                            last_scan, names[0], spec=spec
                         )
                     # adaptive hysteresis: candidate chains present ->
                     # closures likely -> settle-first ordering next drain

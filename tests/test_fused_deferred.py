@@ -79,7 +79,7 @@ def test_deferred_fused_matches_blocking(loop_dataset, monkeypatch):
 
     monkeypatch.setattr(
         PoseGraph, "try_close_loop_begin",
-        lambda self, scan, name: self.try_close_loop(scan, name),
+        lambda self, scan, name, spec=None: self.try_close_loop(scan, name),
     )
     m_blk, s_blk = _run_streaming(laser, cfg, data, drain_every=16)
 
