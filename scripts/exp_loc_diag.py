@@ -28,6 +28,9 @@ def main():
     ap.add_argument("--budget", type=float, default=1200.0)
     ap.add_argument("--rows", type=int, default=4)
     ap.add_argument("--no-loop", dest="no_loop", action="store_true")
+    ap.add_argument("--loop-fine", dest="loop_fine", type=float, default=None)
+    ap.add_argument("--loop-coarse", dest="loop_coarse", type=float,
+                    default=None)
     args = ap.parse_args()
 
     if os.environ.get("BENCH_CPU") == "1":
@@ -62,10 +65,18 @@ def main():
     print(f"# {len(data)} localization scans", file=sys.stderr)
 
     cfg = _cfg(minimum_travel_distance=0.2)
-    if args.no_loop:
-        import dataclasses
+    import dataclasses
 
+    if args.no_loop:
         cfg = dataclasses.replace(cfg, do_loop_closing=False)
+    if args.loop_fine is not None:
+        cfg = dataclasses.replace(
+            cfg, loop_match_minimum_response_fine=args.loop_fine
+        )
+    if args.loop_coarse is not None:
+        cfg = dataclasses.replace(
+            cfg, loop_match_minimum_response_coarse=args.loop_coarse
+        )
     loc = SlamSession(cfg, laser, mode="localization", streaming=True,
                       drain_every=args.drain)
     loc.stats.enabled = True
