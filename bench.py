@@ -11,24 +11,76 @@ cache and compiles take 15 s - minutes; all jitted programs are
 module-level so executables are shared across sessions), then pass 2 runs
 a FRESH session over the same sequence and reports pure wall-clock
 scans/sec with no exclusions of any kind. If the wall budget
-(BENCH_BUDGET_S, default 480) expires before pass 2 can run, the pass-1
+(BENCH_BUDGET_S, default 1500) expires before pass 2 can run, the pass-1
 throughput with >5 s latencies (the compiles) excluded is reported
 instead.
 
-Baseline: slam_toolbox reports 5x+ real-time synchronous mapping on a
-robot CPU (README.md:40); at a typical 10 Hz lidar that is ~50 scans/sec.
-vs_baseline = our scans/sec / 50.
+FAULT TOLERANCE (round-3): the measurement runs in a CHILD process
+supervised by this script. Any backend/tunnel failure (JaxRuntimeError,
+FAILED_PRECONDITION, hang) crashes or stalls only the child; the parent
+retries once with a fresh process (fresh tunnel connection) and, if that
+also fails, emits the JSON line from the best PARTIAL metrics the child
+streamed to a state file — never rc=1, never a missing line. Inside the
+child every pass is additionally wrapped so a mid-pass exception yields
+the scans measured so far instead of a traceback.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline: slam_toolbox reports 5x+ real-time synchronous mapping on a
+robot CPU (/root/reference/README.md:40); at a typical 10 Hz lidar that
+is ~50 scans/sec. vs_baseline = our scans/sec / 50.
+
+Numbers are produced by the STREAMING pipeline (f32 device points for
+near-chain/loop rasters; classic path is f64 — PARITY.md §Known).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 import json
 import os
+import signal
+import subprocess
 import sys
+import tempfile
 import time
 
 import numpy as np
 
 COMPILE_STALL_S = 5.0
+METRIC = "online_sync_scans_per_sec_1chip"
+
+
+def _emit(value, ate=None, error=None, source="two_pass_wall_clock"):
+    rec = {
+        "metric": METRIC,
+        "value": round(float(value), 3),
+        "unit": "scans/s",
+        "vs_baseline": round(float(value) / 50.0, 3),
+        "pipeline": "streaming_f32_chain_rasters",
+        "source": source,
+    }
+    if ate is not None:
+        rec["ate_m"] = round(float(ate), 4)
+    if error:
+        rec["error"] = str(error)[:500]
+    print(json.dumps(rec), flush=True)
+
+
+def _write_state(path, **kv):
+    """Merge kv into the JSON state file (best-effort, crash-safe)."""
+    if not path:
+        return
+    state = {}
+    try:
+        with open(path) as f:
+            state = json.load(f)
+    except Exception:
+        pass  # missing/empty/corrupt — start fresh
+    try:
+        state.update(kv)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(state, f)
+        os.replace(tmp, path)
+    except Exception:
+        pass
 
 
 def make_workload():
@@ -72,49 +124,94 @@ def make_workload():
     return cfg, laser, data
 
 
-def run_pass(cfg, laser, data, drain, deadline, tag):
+def run_pass(cfg, laser, data, drain, deadline, tag, state_path):
     """Feed the sequence through a fresh session; returns
-    (wall_s, latencies, n_accepted, ate, ate_odom, session)."""
+    (wall_s, latencies, n_accepted, ate, ate_odom, session, error).
+
+    A backend exception mid-pass is caught: whatever was measured up to
+    the failure is returned with the error string instead of raising."""
     from slam_toolbox_tpu.api import SlamSession
     from slam_toolbox_tpu.io.dataset import ate_rmse
 
     sess = SlamSession(cfg, laser, streaming=True, drain_every=drain)
     if os.environ.get("BENCH_STATS") == "1":
         sess.stats.enabled = True
+    # test-only fault injection for the supervisor's failure paths:
+    # BENCH_FAULT_AT=<scan> [BENCH_FAULT_PASS=warm|measure]
+    # [BENCH_FAULT_KILL=1 to die hard] [BENCH_FAULT_ATTEMPT=N]
+    fault_at = int(os.environ.get("BENCH_FAULT_AT", "-1"))
+    fault_on = (os.environ.get("BENCH_FAULT_PASS", "warm") == tag and
+                os.environ.get("BENCH_FAULT_ATTEMPT", "1")
+                in ("*", os.environ.get("BENCH_ATTEMPT", "1")))
+
     gt, odo, lat = [], [], []
+    err = None
     t_begin = time.time()
     t_prev = t_begin
-    for i, (scan, tp) in enumerate(data):
-        out = sess.process_scan(scan.ranges, scan.odom_pose, time=i * 0.1)
-        t_now = time.time()
-        if out is not None:
-            lat.append(t_now - t_prev)
-            gt.append(tp)
-            odo.append(scan.odom_pose)
-        t_prev = t_now
-        if i % 100 == 0:
-            print(f"# {tag} scan {i} t={t_now-t_begin:.1f}s",
-                  file=sys.stderr, flush=True)
-        if t_now > deadline:
-            print(f"# {tag} budget reached at scan {i}", file=sys.stderr)
-            break
-    sess.flush()
+    try:
+        for i, (scan, tp) in enumerate(data):
+            if i == fault_at and fault_on:
+                if os.environ.get("BENCH_FAULT_KILL") == "1":
+                    os._exit(13)
+                raise RuntimeError("injected fault (BENCH_FAULT_AT)")
+            out = sess.process_scan(scan.ranges, scan.odom_pose,
+                                    time=i * 0.1)
+            t_now = time.time()
+            if out is not None:
+                lat.append(t_now - t_prev)
+                gt.append(tp)
+                odo.append(scan.odom_pose)
+            t_prev = t_now
+            if i % 100 == 0:
+                print(f"# {tag} scan {i} t={t_now-t_begin:.1f}s",
+                      file=sys.stderr, flush=True)
+                _write_state(state_path, **{f"{tag}_live": {
+                    "n": len(lat), "elapsed": t_now - t_begin}})
+            if t_now > deadline:
+                print(f"# {tag} budget reached at scan {i}",
+                      file=sys.stderr)
+                break
+    except Exception as e:  # backend/tunnel failure — keep partials
+        err = f"{type(e).__name__}: {e}"
+        print(f"# {tag} PASS FAILED at scan {len(lat)}: {err}",
+              file=sys.stderr, flush=True)
+    if err is None:
+        try:
+            sess.flush()
+        except Exception as e:
+            err = f"flush: {type(e).__name__}: {e}"
+            print(f"# {tag} FLUSH FAILED: {err}", file=sys.stderr)
     wall = time.time() - t_begin
 
     ate = ate_odom = None
-    scans_done = sess.mapper.all_processed_scans()
-    if scans_done and gt:
-        est = np.stack([s.corrected_pose for s in scans_done])
-        gt_a, odo_a = np.stack(gt), np.stack(odo)
-        k = min(len(est), len(gt_a))
-        ate = ate_rmse(est[:k], gt_a[:k])
-        ate_odom = ate_rmse(odo_a[:k], gt_a[:k])
-        print(f"# {tag}: ATE slam={ate:.3f} m, odom={ate_odom:.3f} m, "
-              f"{len(lat)} scans in {wall:.1f}s", file=sys.stderr)
-    return wall, lat, len(lat), ate, ate_odom, sess
+    try:
+        scans_done = sess.mapper.all_processed_scans()
+        if scans_done and gt:
+            est = np.stack([s.corrected_pose for s in scans_done])
+            gt_a, odo_a = np.stack(gt), np.stack(odo)
+            k = min(len(est), len(gt_a))
+            ate = ate_rmse(est[:k], gt_a[:k])
+            ate_odom = ate_rmse(odo_a[:k], gt_a[:k])
+            print(f"# {tag}: ATE slam={ate:.3f} m, odom={ate_odom:.3f} m, "
+                  f"{len(lat)} scans in {wall:.1f}s", file=sys.stderr)
+    except Exception as e:
+        print(f"# {tag} ATE computation failed: {e}", file=sys.stderr)
+
+    # bank a stall-filtered partial rate so the supervisor can still
+    # report something if everything after this point dies
+    lat_a = np.asarray(lat) if lat else np.zeros(0)
+    stall = float(lat_a[lat_a >= COMPILE_STALL_S].sum()) if len(lat_a) else 0.0
+    partial = len(lat) / max(wall - stall, 1e-9) if lat else 0.0
+    _write_state(state_path, **{f"{tag}_done": {
+        "n": len(lat), "wall": wall, "stall_s": stall,
+        "rate_stall_filtered": partial,
+        "ate": None if ate is None else float(ate),
+        "error": err}})
+    return wall, lat, len(lat), ate, ate_odom, sess, err
 
 
-def main():
+def child_main():
+    state_path = os.environ.get("BENCH_STATE", "")
     if os.environ.get("BENCH_CPU") == "1":
         import jax
 
@@ -137,20 +234,28 @@ def main():
     # pass 1: compile warm-up (module-level jits => shared executables)
     # generous pass-2 reservation: a compile that STARTS before pass 1's
     # deadline can overshoot it by minutes (the jit call blocks)
-    wall1, lat1, n1, ate1, odom1, sess1 = run_pass(
-        cfg, laser, data, drain, deadline - 120.0, "warm"
+    wall1, lat1, n1, ate1, odom1, sess1, err1 = run_pass(
+        cfg, laser, data, drain, deadline - 120.0, "warm", state_path
     )
     if ate1 is not None and odom1 is not None:
         assert ate1 < odom1, f"accuracy regression: {ate1} vs {odom1}"
+    del sess1
 
     measured = False
+    err2 = None
+    scans_per_sec = 0.0
+    ate_out = ate1
+    # attempt the honest pass even after a pass-1 failure: executables
+    # compiled before the crash are still cached in-process, and a
+    # transient tunnel error may have cleared
     if deadline - time.time() > 45.0:
-        wall2, lat2, n2, ate2, odom2, sess2 = run_pass(
-            cfg, laser, data, drain, deadline, "measure"
+        wall2, lat2, n2, ate2, odom2, sess2, err2 = run_pass(
+            cfg, laser, data, drain, deadline, "measure", state_path
         )
-        if n2 >= 0.9 * n1 and wall2 > 0:  # full pass fit in the budget
+        if err2 is None and n2 >= 0.9 * n1 and wall2 > 0:
             scans_per_sec = n2 / wall2
             measured = True
+            ate_out = ate2
             if ate2 is not None and odom2 is not None:
                 assert ate2 < odom2, (
                     f"accuracy regression: {ate2} vs {odom2}"
@@ -163,34 +268,120 @@ def main():
                 print(f"# solver "
                       f"{getattr(sess2.mapper.solver, 'last_stats', None)}",
                       file=sys.stderr)
+        elif err2 is None and n2 > 0 and wall2 > 0:
+            # budget-truncated measure pass: still an honest no-exclusion
+            # rate over the scans it covered
+            scans_per_sec = n2 / wall2
+            measured = True
+            ate_out = ate2 if ate2 is not None else ate1
 
     if not measured:
         # fallback: pass-1 wall-clock with only compile stalls (>5 s
         # latencies) subtracted from the denominator — NOT the per-scan
         # stall filter, which drops whole-drain latencies at large
         # drain_every and inflates the number
-        lat = np.asarray(lat1)
-        stall = float(lat[lat >= COMPILE_STALL_S].sum())
-        scans_per_sec = n1 / max(wall1 - stall, 1e-9)
+        lat = np.asarray(lat1) if lat1 else np.zeros(0)
+        stall = float(lat[lat >= COMPILE_STALL_S].sum()) if len(lat) else 0.0
+        scans_per_sec = n1 / max(wall1 - stall, 1e-9) if n1 else 0.0
         # when pass 1 itself was cut by the budget mid-compile, the
         # average is poisoned by warm-up; prefer the post-last-stall
         # tail if it has enough scans to be meaningful
-        stalls_at = np.flatnonzero(lat >= COMPILE_STALL_S)
-        if len(stalls_at):
-            tail = lat[stalls_at[-1] + 1:]
-            if len(tail) >= 30 and tail.sum() > 0:
-                scans_per_sec = max(
-                    scans_per_sec, len(tail) / float(tail.sum())
-                )
+        if len(lat):
+            stalls_at = np.flatnonzero(lat >= COMPILE_STALL_S)
+            if len(stalls_at):
+                tail = lat[stalls_at[-1] + 1:]
+                if len(tail) >= 30 and tail.sum() > 0:
+                    scans_per_sec = max(
+                        scans_per_sec, len(tail) / float(tail.sum())
+                    )
         print(f"# fallback pass-1 metric: wall={wall1:.1f}s "
               f"stalls={stall:.1f}s", file=sys.stderr)
 
-    print(json.dumps({
-        "metric": "online_sync_scans_per_sec_1chip",
-        "value": round(scans_per_sec, 3),
-        "unit": "scans/s",
-        "vs_baseline": round(scans_per_sec / 50.0, 3),
-    }))
+    # a clean measured pass is a clean number — a warm-pass failure that
+    # pass 2 recovered from is stderr noise, not a result qualifier
+    err = err2 if measured else (err2 or err1)
+    source = ("two_pass_wall_clock" if measured
+              else "pass1_stall_filtered_fallback")
+    _write_state(state_path, final={
+        "value": scans_per_sec,
+        "ate": None if ate_out is None else float(ate_out),
+        "error": err, "source": source})
+    _emit(scans_per_sec, ate=ate_out, error=err, source=source)
+
+
+def parent_main():
+    """Supervise the measurement child: retry once on failure/hang,
+    always emit the JSON line (possibly from partial state)."""
+    budget = float(os.environ.get("BENCH_BUDGET_S", "1500"))
+    t0 = time.time()
+    fd, state_path = tempfile.mkstemp(prefix="bench_state_", suffix=".json")
+    os.close(fd)
+    env = dict(os.environ, BENCH_CHILD="1", BENCH_STATE=state_path)
+
+    last_err = None
+    for attempt in (1, 2):
+        remain = budget - (time.time() - t0)
+        if remain < 60.0:
+            break
+        env["BENCH_BUDGET_S"] = str(remain)
+        env["BENCH_ATTEMPT"] = str(attempt)
+        print(f"# supervisor: attempt {attempt}, budget {remain:.0f}s",
+              file=sys.stderr, flush=True)
+        proc = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, stdout=subprocess.PIPE, stderr=None, text=True,
+        )
+        try:
+            out, _ = proc.communicate(timeout=remain + 180.0)
+        except subprocess.TimeoutExpired:
+            last_err = "child hung past budget; killed"
+            print(f"# supervisor: {last_err} (pid {proc.pid})",
+                  file=sys.stderr)
+            proc.send_signal(signal.SIGKILL)  # exact PID only
+            try:
+                proc.communicate(timeout=30.0)
+            except subprocess.TimeoutExpired:
+                pass
+            continue
+        line = None
+        for ln in (out or "").splitlines():
+            ln = ln.strip()
+            if ln.startswith("{") and '"metric"' in ln:
+                line = ln
+        if line is not None and proc.returncode == 0:
+            print(line, flush=True)
+            return
+        last_err = f"child rc={proc.returncode}, no metric line"
+        print(f"# supervisor: {last_err}", file=sys.stderr, flush=True)
+
+    # every attempt failed — reconstruct the best partial number
+    state = {}
+    try:
+        with open(state_path) as f:
+            state = json.load(f)
+    except Exception:
+        pass
+    best, ate, src = 0.0, None, "supervisor_partial_fallback"
+    fin = state.get("final")
+    if fin and fin.get("value"):
+        best, ate = fin["value"], fin.get("ate")
+        last_err = fin.get("error") or last_err
+    else:
+        for tag in ("measure", "warm"):
+            d = state.get(f"{tag}_done")
+            if d and d.get("rate_stall_filtered", 0) > best:
+                best, ate = d["rate_stall_filtered"], d.get("ate")
+            live = state.get(f"{tag}_live")
+            if best == 0.0 and live and live.get("elapsed", 0) > 0:
+                best = live["n"] / live["elapsed"]
+    _emit(best, ate=ate, error=last_err, source=src)
+
+
+def main():
+    if os.environ.get("BENCH_CHILD") == "1":
+        child_main()
+    else:
+        parent_main()
 
 
 if __name__ == "__main__":

@@ -100,16 +100,16 @@ def make_laser(
     if rng_threshold <= 0:
         if warn is not None:
             warn(
-                "You've set maximum_laser_range to be negative, this "
-                f"isn't allowed so it will be set to ({scan.range_max:.1f})."
+                "maximum_laser_range must be positive; falling back to "
+                f"the sensor's reported maximum ({scan.range_max:.1f} m)"
             )
         rng_threshold = float(scan.range_max)
     if rng_threshold > scan.range_max:
         if warn is not None:
             warn(
-                f"maximum laser range setting ({rng_threshold:.1f} m) "
-                "exceeds the capabilities of the used Lidar "
-                f"({scan.range_max:.1f} m)"
+                f"maximum_laser_range ({rng_threshold:.1f} m) is beyond "
+                f"what this lidar can measure ({scan.range_max:.1f} m); "
+                "clamping to the sensor maximum"
             )
         rng_threshold = float(scan.range_max)
 

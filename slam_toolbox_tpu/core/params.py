@@ -59,6 +59,15 @@ class MapperConfig:
     loop_match_maximum_variance_coarse: float = 0.4 ** 2
     loop_match_minimum_response_coarse: float = 0.8
     loop_match_minimum_response_fine: float = 0.8
+    # Extensions beyond the reference gate set (both inf = exact
+    # reference behavior; enabled by the LOCALIZATION preset — see
+    # PoseGraph._loop_accept and PARITY.md §Known): a fine-match
+    # response-surface variance ceiling, and a cap on how far an
+    # accepted closure may displace the query from its current pose
+    # (drift since the last correction is bounded in localization, so a
+    # multi-meter jump is an aliased aisle/row, not a discovery)
+    loop_match_maximum_variance_fine: float = float("inf")
+    loop_closure_maximum_jump: float = float("inf")
 
     # Sequential correlation grid (Mapper.cpp:2209-2225)
     correlation_search_space_dimension: float = 0.3
@@ -127,6 +136,14 @@ LOCALIZATION = ONLINE_SYNC.replace(
     scan_buffer_size=3,
     loop_match_minimum_chain_size=3,
     minimum_travel_distance=0.5,
+    # self-similarity defenses (ours): the reference coarse-variance
+    # default (0.16, vs the yaml-preset 3.0) rejects multi-modal
+    # response surfaces, the fine-variance ceiling enforces a unimodal
+    # refinement, and the jump cap bounds corrections to plausible
+    # inter-correction drift
+    loop_match_maximum_variance_coarse=0.4 ** 2,
+    loop_match_maximum_variance_fine=0.3 ** 2,
+    loop_closure_maximum_jump=1.0,
 )
 
 # mapper_params_online_async.yaml: mapper parameters are IDENTICAL to the

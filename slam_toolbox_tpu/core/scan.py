@@ -309,6 +309,22 @@ class LocalizedPointScan(LocalizedScan):
         self._local_pts = np.stack(
             [c * dx + s * dy, -s * dx + c * dy], axis=-1
         )
+        # Reconcile ranges with point finiteness so every downstream
+        # validity mask (matcher/raster paths key off isfinite(ranges))
+        # agrees with the reference's point-driven rule: WithPoints
+        # Update() excludes non-finite POINTS regardless of range
+        # (Karto.h:5819-5824) and admits finite points regardless of the
+        # reported range. Without this, a finite range + non-finite point
+        # injected a spurious (0,0) sensor-origin point into rasters.
+        pt_ok = np.all(np.isfinite(self._local_pts), axis=1)
+        r = np.where(pt_ok, self.ranges, np.nan)
+        synth = pt_ok & ~np.isfinite(r)
+        if synth.any():
+            r = np.where(
+                synth, np.hypot(self._local_pts[:, 0],
+                                self._local_pts[:, 1]), r
+            )
+        self.ranges = r
 
     @property
     def filtered_mask(self) -> np.ndarray:

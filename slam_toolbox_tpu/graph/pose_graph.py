@@ -179,6 +179,13 @@ class PoseGraph:
             np.cumsum(counts, out=indptr[1:])
             order = np.argsort(both_src, kind="stable")
             indices = both_dst[order]
+            # per-row boundary between the src-half and dst-half segments
+            # (stable argsort of concat[src; dst] lays each row out as
+            # [dsts of src==r edges, in edge order][srcs of dst==r edges,
+            # in edge order]) — the augmentation below inserts at these
+            # boundaries so augmented == rebuilt BIT-EXACTLY, making BFS
+            # discovery order independent of where the rebuild falls
+            self._q_csr_segend = indptr[:-1] + np.bincount(src, minlength=n)
             self._q_csr = (indptr, indices)
             self._q_csr_ne = ne
             self._q_aug = None
@@ -190,26 +197,36 @@ class PoseGraph:
                 self._q_aug is not None and len(self._q_aug[0]) != n + 1
             ):
                 indptr0, indices0 = self._q_csr
+                segend0 = self._q_csr_segend
                 if len(indptr0) < n + 1:  # vertices added since the build
+                    pad = n + 1 - len(indptr0)
                     indptr0 = np.concatenate([
-                        indptr0,
-                        np.full(n + 1 - len(indptr0), indptr0[-1]),
+                        indptr0, np.full(pad, indptr0[-1]),
+                    ])
+                    segend0 = np.concatenate([
+                        segend0, np.full(pad, indptr0[-1]),
                     ])
                 es = self._q_esrc[self._q_csr_ne:self._q_ne]
                 ed = self._q_edst[self._q_csr_ne:self._q_ne]
+                # a full rebuild interleaves: new src-half entries extend
+                # each row's src segment (at segend0), new dst-half
+                # entries extend the row tail (at indptr0[row+1]). Insert
+                # at those positions; np.insert keeps same-position values
+                # in given order, so lexsort by (pos, row) with the
+                # src-half concatenated first reproduces the rebuild's
+                # [row][segment][edge-order] layout exactly
                 bsrc = np.concatenate([es, ed])
                 bdst = np.concatenate([ed, es])
-                # np.insert keeps same-position values in given order, so
-                # extras must arrive row-grouped: rows past the base
-                # build's node count all share the tail position
-                order = np.argsort(bsrc, kind="stable")
+                pos = np.concatenate([segend0[es], indptr0[ed + 1]])
+                order = np.lexsort((bsrc, pos))
                 bsrc = bsrc[order]
                 bdst = bdst[order]
+                pos = pos[order]
                 cnt = np.bincount(bsrc, minlength=n)
                 indptr = indptr0 + np.concatenate(
                     [[0], np.cumsum(cnt)]
                 )
-                indices = np.insert(indices0, indptr0[bsrc + 1], bdst)
+                indices = np.insert(indices0, pos, bdst)
                 self._q_aug = (indptr, indices)
                 self._q_aug_ne = self._q_ne
             indptr, indices = self._q_aug
@@ -973,23 +990,86 @@ class PoseGraph:
         if not chains:
             return False
         if spec is not None:
+            # PER-CHAIN validation (round 3): each chain's verify row
+            # depends only on that chain's membership + f32 poses and
+            # the query center (the program is a scan over independent
+            # chains; padding buckets don't leak between rows — the
+            # spec-vs-redispatch bit-equality the full-hit path already
+            # relies on). So reuse every predicted row whose chain
+            # survived unchanged and redispatch ONLY the rest: on
+            # large-drain workloads whole-list identity missed 9/10
+            # while most individual chains were stable.
             pred_chains, dev_rows, pose_snap = spec
-            pred_ids = [
-                tuple(s.unique_id for s in c) for c in pred_chains
-            ]
-            actual_ids = [tuple(s.unique_id for s in c) for c in chains]
-            stable = pred_ids == actual_ids and all(
-                np.array_equal(
-                    pose_snap[ci, i],
-                    np.asarray(sc.sensor_pose, np.float32),
+            pred_by_ids = {}
+            for ci, chain in enumerate(pred_chains):
+                pred_by_ids.setdefault(
+                    tuple(s.unique_id for s in chain), []
+                ).append(ci)
+            assign = []  # per actual chain: predicted row index or None
+            n_missing = 0
+            for chain in chains:
+                cand = pred_by_ids.get(
+                    tuple(s.unique_id for s in chain), []
                 )
-                for ci, chain in enumerate(chains)
-                for i, sc in enumerate(chain)
-            )
-            if stable:
+                m = None
+                for ci in cand:
+                    if all(
+                        np.array_equal(
+                            pose_snap[ci, i],
+                            np.asarray(sc.sensor_pose, np.float32),
+                        )
+                        for i, sc in enumerate(chain)
+                    ):
+                        m = ci
+                        break
+                if m is not None:
+                    cand.remove(m)
+                    assign.append(m)
+                else:
+                    assign.append(None)
+                    n_missing += 1
+            if n_missing == 0:
                 self.mapper.stats.count("spec_loop_hit")
-                return (scan, sensor_name, chains, dev_rows, start_id)
+                return (scan, sensor_name, chains,
+                        (dev_rows, assign, None), start_id)
+            if n_missing < len(chains):
+                self.mapper.stats.count("spec_loop_partial")
+                missing = [
+                    c for c, a in zip(chains, assign) if a is None
+                ]
+                with stage_timer(
+                    self.mapper.stats, "loop_verify_dispatch"
+                ):
+                    miss_rows = lv.dispatch_loop_verify(
+                        lm, sm_seq, scan, missing, self.mapper.config,
+                        pool=getattr(self.mapper, "_pack_pool", None),
+                    )
+                if hasattr(miss_rows, "copy_to_host_async"):
+                    miss_rows.copy_to_host_async()
+                return (scan, sensor_name, chains,
+                        (dev_rows, assign, miss_rows), start_id)
             self.mapper.stats.count("spec_loop_miss")
+            if self.mapper.stats.enabled:
+                # diagnose full misses: were the predicted chains nearly
+                # right (off by a boundary member — a pose-prediction
+                # precision problem) or structurally wrong (an exclusion
+                # -BFS/candidate-set problem)?
+                for chain in chains:
+                    ids = {s.unique_id for s in chain}
+                    best = max(
+                        (
+                            len(ids & {s.unique_id for s in pc})
+                            / max(len(ids | {s.unique_id for s in pc}), 1)
+                            for pc in pred_chains
+                        ),
+                        default=0.0,
+                    )
+                    if best >= 0.7:
+                        self.mapper.stats.count("spec_loop_near_miss")
+                    elif best > 0.0:
+                        self.mapper.stats.count("spec_loop_far_miss")
+                    else:
+                        self.mapper.stats.count("spec_loop_disjoint")
         with stage_timer(self.mapper.stats, "loop_verify_dispatch"):
             dev_rows = lv.dispatch_loop_verify(
                 lm, sm_seq, scan, chains, self.mapper.config,
@@ -1138,7 +1218,7 @@ class PoseGraph:
                         f"FINE RESPONSE: {fine.response} "
                         f"(>{cfg.loop_match_minimum_response_fine})"
                     )
-                if fine.response >= cfg.loop_match_minimum_response_fine:
+                if self._loop_accept(scan, fine, cfg):
                     self.mapper.fire_loop_closure("Closing loop...")
                     scan.set_sensor_pose(fine.sensor_pose)
                     self.link_chain_to_scan(
@@ -1149,10 +1229,47 @@ class PoseGraph:
                     closed = True
                     closed_this_round = True
                     break  # poses moved: re-sweep remaining candidates
-                else:
+                elif fine.response < cfg.loop_match_minimum_response_fine:
                     self.mapper.fire_loop_closure_check("REJECTED!")
             if not closed_this_round:
                 return closed
+
+    def _loop_accept(self, scan, fine, cfg) -> bool:
+        """Final acceptance gates for a loop-closure candidate.
+
+        The reference gates only on the fine response
+        (Mapper.cpp:1543-1546). Two OPTIONAL extensions (both default to
+        inf = exact reference behavior, enabled by the LOCALIZATION
+        preset; PARITY.md §Known) defend against self-similar
+        environments where a structurally-shifted match still scores a
+        high, low-variance response:
+        - loop_match_maximum_variance_fine: the fine response surface
+          must be unimodal too;
+        - loop_closure_maximum_jump: the proposed correction may not
+          displace the query scan further from its current (odometry-
+          propagated) pose than the accumulated drift could explain —
+          in localization mode drift since the last accepted correction
+          is bounded, so a multi-meter jump is an aliased row/aisle, not
+          a discovery."""
+        if fine.response < cfg.loop_match_minimum_response_fine:
+            return False
+        vmax = cfg.loop_match_maximum_variance_fine
+        if not (fine.covariance[0, 0] < vmax
+                and fine.covariance[1, 1] < vmax):
+            self.mapper.fire_loop_closure_check(
+                "REJECTED (fine variance)!"
+            )
+            return False
+        jump = float(np.hypot(
+            fine.sensor_pose[0] - scan.sensor_pose[0],
+            fine.sensor_pose[1] - scan.sensor_pose[1],
+        ))
+        if jump > cfg.loop_closure_maximum_jump:
+            self.mapper.fire_loop_closure_check(
+                f"REJECTED (jump {jump:.2f} m)!"
+            )
+            return False
+        return True
 
     def _try_close_fused(self, scan, chains, cfg) -> bool:
         """One fused device program per chain: coarse match, gates, and
@@ -1180,8 +1297,26 @@ class PoseGraph:
 
         seq = self.mapper.sequential_matcher
         with stage_timer(self.mapper.stats, "loop_verify_wait"):
-            dev_rows.block_until_ready()
-            rows = np.asarray(dev_rows, np.float64)
+            if isinstance(dev_rows, tuple):
+                # composite from per-chain spec reuse: (spec_rows,
+                # assign, miss_rows) — assemble in actual-chain order
+                spec_rows, assign, miss_rows = dev_rows
+                spec_np = np.asarray(spec_rows, np.float64)
+                miss_np = (
+                    np.asarray(miss_rows, np.float64)
+                    if miss_rows is not None else None
+                )
+                j = 0
+                rows = np.empty((len(assign), spec_np.shape[1]))
+                for k, a in enumerate(assign):
+                    if a is None:
+                        rows[k] = miss_np[j]
+                        j += 1
+                    else:
+                        rows[k] = spec_np[a]
+            else:
+                dev_rows.block_until_ready()
+                rows = np.asarray(dev_rows, np.float64)
         from slam_toolbox_tpu.core.geometry import KT_TOLERANCE
 
         for chain, row in zip(chains, rows):
@@ -1217,7 +1352,7 @@ class PoseGraph:
                     f"FINE RESPONSE: {fine.response} "
                     f"(>{cfg.loop_match_minimum_response_fine})"
                 )
-            if fine.response >= cfg.loop_match_minimum_response_fine:
+            if self._loop_accept(scan, fine, cfg):
                 self.mapper.fire_loop_closure("Closing loop...")
                 scan.set_sensor_pose(fine.sensor_pose)
                 self.link_chain_to_scan(
@@ -1226,7 +1361,8 @@ class PoseGraph:
                 self.correct_poses()
                 self.mapper.fire_end_loop_closure("Loop closed!")
                 return True
-            self.mapper.fire_loop_closure_check("REJECTED!")
+            if fine.response < cfg.loop_match_minimum_response_fine:
+                self.mapper.fire_loop_closure_check("REJECTED!")
         return False
 
     def correct_poses(self) -> None:

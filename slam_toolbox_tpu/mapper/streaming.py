@@ -506,6 +506,7 @@ class StreamingPipeline:
         # candidate chains (closures likely -> settle-first ordering);
         # cleared when a loop event comes up empty
         self._loop_hot = False
+        self._t_drain_end = None  # accum-window stage timing
         self.pack_pool = PackPool(self.B)
         mapper._pack_pool = self.pack_pool  # loop verify gathers from it
         # seed with any pre-existing scans (deserialized prior graphs):
@@ -618,9 +619,12 @@ class StreamingPipeline:
         # async chunked upload: streams during accumulation
         self._chunk_np.append(self._scan_stream_arrays(scan))
         if len(self._chunk_np) >= UPLOAD_CHUNK:
-            self._pending_dev.append(
-                jax.device_put(np.stack(self._chunk_np))
-            )
+            from slam_toolbox_tpu.utils.metrics import stage_timer
+
+            with stage_timer(self.mapper.stats, "chunk_upload"):
+                self._pending_dev.append(
+                    jax.device_put(np.stack(self._chunk_np))
+                )
             self._chunk_np = []
         self._last_gate_scan = scan
         # the ring only needs to hold results not yet consumed — the
@@ -715,6 +719,14 @@ class StreamingPipeline:
             return
         from slam_toolbox_tpu.utils.metrics import stage_timer
 
+        stats0 = self.mapper.stats
+        if stats0.enabled and self._t_drain_end is not None:
+            import time as _time
+
+            stats0.add(
+                "accum_window", _time.perf_counter() - self._t_drain_end
+            )
+
         scans = self.pending
         n = len(scans)
         self.pending = []
@@ -768,6 +780,10 @@ class StreamingPipeline:
         if hasattr(tgt, "copy_to_host_async"):
             tgt.copy_to_host_async()
         self._pending_drain = pd
+        if stats0.enabled:
+            import time as _time
+
+            self._t_drain_end = _time.perf_counter()
 
     def _dispatch_spec(self, pd) -> None:
         """Speculative near-chain dispatch: predict each scan's chains
@@ -1167,12 +1183,18 @@ class StreamingPipeline:
                 if len(names) == 1:
                     # speculative verify rows are usable only when the
                     # center they rode (the newest scan's ring row) is
-                    # still its pose: fusion did not move it and the
-                    # match applied (response > 0)
+                    # BIT-EXACTLY its current f32 sensor pose: a fusion
+                    # move below the f64 bookkeeping threshold can still
+                    # flip an f32 ulp, so compare the f32 values directly
+                    # rather than gating on moved_uids
                     spec = None
+                    last_row = res_np[(start + n - 1) % cap]
                     if (spec_loop is not None
-                            and last_scan.unique_id not in moved_uids
-                            and res_np[(start + n - 1) % cap][0] > 0.0):
+                            and last_row[0] > 0.0
+                            and np.array_equal(
+                                np.asarray(last_scan.sensor_pose,
+                                           np.float32),
+                                last_row[1:4].astype(np.float32))):
                         pred_loop, rows, snap = spec_loop
                         spec = (pred_loop, rows, snap)
                     with stage_timer(stats, "loop_closure"):

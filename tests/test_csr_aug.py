@@ -1,0 +1,121 @@
+"""Augmented CSR must equal a full rebuild BIT-EXACTLY.
+
+Round-2 advisor finding: the two-tier query structure (base CSR +
+np.insert augmentation of since-added edges) used to append new
+neighbors at each row's tail while a full rebuild interleaves them in
+stable-argsort order, so BFS discovery order — and hence near-chain /
+loop-candidate chain EMISSION order — depended on where the 4096-edge
+rebuild boundary fell. The augmentation now inserts src-half entries at
+the row's src/dst segment boundary and dst-half entries at the row end,
+reproducing the rebuild layout exactly; these tests fuzz that equality
+(indices array equality, not just row multisets)."""
+import numpy as np
+import pytest
+
+from slam_toolbox_tpu.graph.pose_graph import PoseGraph
+
+
+def _bare_graph(n_nodes, src, dst, ne):
+    """A PoseGraph shell with only the query-structure state populated
+    (white-box: _query_structure touches nothing else when xy is
+    fresh)."""
+    g = PoseGraph.__new__(PoseGraph)
+    g._q_scans = [object()] * n_nodes
+    g._q_uid_to_idx = {}
+    g._q_xy = np.zeros((max(n_nodes, 1), 2))
+    g._q_present = np.ones(max(n_nodes, 1), np.uint8)
+    g._q_tombstones = 0
+    cap = max(len(src), 1)
+    g._q_esrc = np.array(src[:cap], np.int64).copy()
+    g._q_edst = np.array(dst[:cap], np.int64).copy()
+    g._q_ne = ne
+    g._q_dirty = False
+    g._q_xy_stale = set()
+    g._q_csr = None
+    g._q_csr_ne = -1
+    return g
+
+
+def _csr_of(g):
+    _, _, _, _, indptr, indices = g._query_structure()
+    return np.array(indptr), np.array(indices)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_augmented_equals_rebuilt(seed):
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(5, 60))
+    e_total = int(rng.integers(1, 300))
+    e_base = int(rng.integers(0, e_total + 1))
+    src = rng.integers(0, n, e_total)
+    dst = rng.integers(0, n, e_total)
+
+    # incremental: base build at e_base edges, then augment to e_total
+    g = _bare_graph(n, src, dst, e_base)
+    _csr_of(g)  # base build
+    assert g._q_csr_ne == e_base
+    g._q_esrc = np.array(src, np.int64)
+    g._q_edst = np.array(dst, np.int64)
+    g._q_ne = e_total
+    ap, ai = _csr_of(g)
+    assert g._q_csr_ne == e_base, "augment must not trigger a rebuild"
+
+    # reference: one-shot full build over all edges
+    ref = _bare_graph(n, src, dst, e_total)
+    rp, ri = _csr_of(ref)
+
+    np.testing.assert_array_equal(ap, rp)
+    np.testing.assert_array_equal(ai, ri)
+
+
+def test_augmented_with_new_vertices():
+    """Edges referencing vertices added after the base build share the
+    CSR tail insertion position; grouping must still be per-row with the
+    rebuild's segment order."""
+    rng = np.random.default_rng(99)
+    n_base, n = 10, 16
+    e_base = 25
+    src_b = rng.integers(0, n_base, e_base)
+    dst_b = rng.integers(0, n_base, e_base)
+    # new edges touch both old and new vertices, several per new row
+    src_n = np.array([12, 3, 15, 12, 14, 15, 2, 13])
+    dst_n = np.array([5, 12, 14, 15, 1, 15, 13, 12])
+    src = np.concatenate([src_b, src_n])
+    dst = np.concatenate([dst_b, dst_n])
+
+    g = _bare_graph(n_base, src, dst, e_base)
+    _csr_of(g)
+    g._q_scans = [object()] * n  # vertices added since the build
+    g._q_xy = np.zeros((n, 2))
+    g._q_present = np.ones(n, np.uint8)
+    g._q_esrc = np.array(src, np.int64)
+    g._q_edst = np.array(dst, np.int64)
+    g._q_ne = len(src)
+    ap, ai = _csr_of(g)
+
+    ref = _bare_graph(n, src, dst, len(src))
+    rp, ri = _csr_of(ref)
+    np.testing.assert_array_equal(ap, rp)
+    np.testing.assert_array_equal(ai, ri)
+
+
+def test_repeated_augmentation_after_more_edges():
+    """The augmentation is recomputed from the same base as edges keep
+    arriving; every snapshot must match the rebuild of that snapshot."""
+    rng = np.random.default_rng(7)
+    n = 30
+    e_base, steps = 40, 5
+    src = rng.integers(0, n, e_base + steps * 17)
+    dst = rng.integers(0, n, e_base + steps * 17)
+    g = _bare_graph(n, src, dst, e_base)
+    _csr_of(g)
+    for k in range(1, steps + 1):
+        ne = e_base + k * 17
+        g._q_esrc = np.array(src[:max(ne, 1)], np.int64)
+        g._q_edst = np.array(dst[:max(ne, 1)], np.int64)
+        g._q_ne = ne
+        ap, ai = _csr_of(g)
+        ref = _bare_graph(n, src, dst, ne)
+        rp, ri = _csr_of(ref)
+        np.testing.assert_array_equal(ap, rp)
+        np.testing.assert_array_equal(ai, ri)

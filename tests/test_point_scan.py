@@ -79,3 +79,49 @@ def test_shape_validation():
         LocalizedPointScan(
             laser, np.ones(laser.n_beams), np.ones((5, 2)), [0, 0, 0]
         )
+
+
+def test_finite_range_nonfinite_point_invalid_in_matcher_paths():
+    """Round-2 advisor (medium): a finite range + non-finite point must
+    NOT become a 'valid' beam in matcher/raster paths (which derive
+    validity from isfinite(ranges)) — the reference WithPoints Update()
+    excludes NaN POINTS regardless of range (Karto.h:5819-5824). Without
+    the __init__ reconciliation its nan_to_num local point was (0,0): a
+    spurious sensor-origin hit in every raster."""
+    from slam_toolbox_tpu.kernels.match import _scan_device_cache
+    from slam_toolbox_tpu.mapper.streaming import scan_pack
+
+    laser = _laser()
+    pts_xy = np.ones((laser.n_beams, 2)) * 2.0
+    pts_xy[5] = np.nan          # non-finite point, finite range
+    ranges = np.full(laser.n_beams, 2.5)
+    ranges[9] = np.nan          # finite point, non-finite range
+    s = LocalizedPointScan(laser, ranges, pts_xy, [0.0, 0.0, 0.0])
+
+    # validity masks all key off isfinite(ranges): beam 5 invalid,
+    # beam 9 VALID (the points drive validity for this subclass)
+    assert not np.isfinite(s.ranges[5])
+    assert np.isfinite(s.ranges[9])
+    assert s.ranges[9] == pytest.approx(np.hypot(2.0, 2.0))
+
+    _, finite = _scan_device_cache(s)
+    finite = np.asarray(finite)
+    assert not finite[5] and finite[9]
+
+    pack = scan_pack(s)
+    flags = pack[:, 7].astype(np.int32)
+    assert (flags[5] & 1) == 0 and (flags[9] & 1) == 1
+    # and the packed local point for the invalid beam is zeroed, masked
+    np.testing.assert_allclose(pack[9, 0:2], s._local_pts[9], atol=1e-6)
+
+
+def test_consistent_masks_polar_equivalence_unchanged():
+    """The reconciliation must be a no-op when ranges and points agree."""
+    laser = _laser(offset=(0.12, -0.05, 0.3))
+    polar, pts = _polar_equivalent(laser, np.random.default_rng(11))
+    m1 = np.isfinite(polar.ranges)
+    m2 = np.isfinite(pts.ranges)
+    np.testing.assert_array_equal(m1, m2)
+    np.testing.assert_allclose(
+        pts.ranges[m2], polar.ranges[m1], atol=1e-12
+    )
