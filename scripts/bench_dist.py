@@ -142,7 +142,14 @@ def main():
     ap.add_argument("--devices", type=int, nargs="*", default=[1, 2, 4, 8])
     ap.add_argument("--cg-iters", type=int, default=200)
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--dtype", choices=["f32", "f64"], default="f32",
+                    help="f64 runs every reduction/recurrence in double "
+                         "precision for sub-mm host parity (CPU mesh)")
+    ap.add_argument("--out", default="DIST_SCALING.json")
     args = ap.parse_args()
+    dtype = np.float64 if args.dtype == "f64" else np.float32
+    if args.dtype == "f64":
+        jax.config.update("jax_enable_x64", True)
 
     from slam_toolbox_tpu.dist.solver_dist import distributed_lm_solve
 
@@ -187,24 +194,24 @@ def main():
             refp = np.zeros_like(poses_p)
             refp[:n] = ref
             chi2_host_f32 = float(make_distributed_chi2(mesh)(
-                jnp.asarray(refp, jnp.float32),
+                jnp.asarray(refp.astype(dtype)),
                 jnp.asarray(src_p.astype(np.int32)),
                 jnp.asarray(dst_p.astype(np.int32)),
-                jnp.asarray(rel_p.astype(np.float32)),
-                jnp.asarray(si_p.astype(np.float32)),
+                jnp.asarray(rel_p.astype(dtype)),
+                jnp.asarray(si_p.astype(dtype)),
                 jnp.asarray(em_p),
             ))
             print(f"# chi2_f32(host solution) = {chi2_host_f32:.4f}")
             results["chi2_f32_host"] = round(chi2_host_f32, 4)
         # warm (compile)
         out, chi2 = distributed_lm_solve(
-            mesh, *packed, cg_iters=args.cg_iters
+            mesh, *packed, cg_iters=args.cg_iters, dtype=dtype
         )
         times = []
         for _ in range(args.reps):
             t0 = time.perf_counter()
             out, chi2 = distributed_lm_solve(
-                mesh, *packed, cg_iters=args.cg_iters
+                mesh, *packed, cg_iters=args.cg_iters, dtype=dtype
             )
             times.append(time.perf_counter() - t0)
         t = min(times)
@@ -243,11 +250,13 @@ def main():
         "devices <= physical cores (entries beyond that oversubscribe "
         "the host and are marked), and is a lower bound on ICI-connected "
         "chips. CG iteration counts are device-count-invariant (the "
-        "block-Jacobi Schwarz preconditioner does not weaken with the "
-        "mesh), so per-chip work genuinely divides by N."
+        "two-level Schwarz preconditioner — intra-block factors + "
+        "coarse aggregate solve — does not weaken with the mesh or the "
+        "graph size), so per-chip work genuinely divides by N."
     )
+    results["dtype"] = args.dtype
     out_path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "DIST_SCALING.json")
+        os.path.abspath(__file__))), args.out)
     with open(out_path, "w") as f:
         json.dump(results, f, indent=1)
     print(json.dumps({"metric": "dist_solve_parity_max_xy_m",

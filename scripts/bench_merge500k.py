@@ -257,7 +257,7 @@ def main():
           file=sys.stderr, flush=True)
     out, chi2 = distributed_lm_solve(
         mesh, poses, src, dst, rel, si, em, free,
-        max_iterations=args.gn_steps, cg_iters=50, block=256,
+        max_iterations=args.gn_steps, cg_iters=50, block=512,
     )
     results["solve_s"] = round(time.time() - t0, 1)
     results["solve_chi2"] = float(chi2)

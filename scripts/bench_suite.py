@@ -212,7 +212,7 @@ def cmd_config3(args) -> int:
         lifelong = LifelongMapper(sess.mapper)
         sess._ensure_pipe().post_finish = lifelong.stream_hook
         t0 = time.time()
-        lat = []
+        lat, curve = [], []
         t_prev = t0
         for i, (scan, tp) in enumerate(data):
             out = sess.process_scan(scan.ranges, scan.odom_pose,
@@ -223,6 +223,7 @@ def cmd_config3(args) -> int:
             t_prev = t_now
             if i % 200 == 0:
                 nodes = sess.mapper.solver.n_nodes
+                curve.append([i, int(nodes)])
                 print(f"# {tag} scan {i}/{len(data)} nodes={nodes} "
                       f"t={t_now-t0:.0f}s", file=sys.stderr, flush=True)
             if t_now - t0 > budget:
@@ -231,20 +232,50 @@ def cmd_config3(args) -> int:
         wall = time.time() - t0
         lat = np.asarray(lat)
         stall = float(lat[lat >= 5.0].sum())
-        sps = len(lat) / max(wall - stall, 1e-9)
         nodes = sess.mapper.solver.n_nodes
+        curve.append([i, int(nodes)])
+        sps_raw = len(lat) / max(wall, 1e-9)
+        sps_f = len(lat) / max(wall - stall, 1e-9)
         print(f"# {tag} final nodes={nodes} after {len(lat)} scans "
               f"(decay bounds growth); wall={wall:.1f}s "
               f"stalls={stall:.1f}s", file=sys.stderr)
-        return sps, len(lat)
+        return sps_raw, sps_f, len(lat), wall, stall, curve, nodes
 
     t0 = time.time()
-    sps, n = one_pass(args.budget * 0.7, "config3w")
+    res = one_pass(args.budget * 0.7, "config3w")
     if time.time() - t0 < args.budget - 60.0:
-        sps2, n2 = one_pass(args.budget - (time.time() - t0), "config3")
-        if n2 >= 0.9 * n:
-            sps = sps2
-    _emit("lifelong_warehouse_scans_per_sec", sps, "scans/s", 50.0)
+        res2 = one_pass(args.budget - (time.time() - t0), "config3")
+        if res2[2] >= 0.9 * res[2]:
+            res = res2
+    sps_raw, sps_f, n_scans, wall, stall, curve, nodes = res
+    # plateau check over the curve tail: node growth across the last
+    # quarter of the run must be near zero (VERDICT r2 #2)
+    tail = [c for c in curve if c[0] >= curve[-1][0] * 0.75]
+    tail_growth = (tail[-1][1] - tail[0][1]) if len(tail) > 1 else 0
+    tail_scans = (tail[-1][0] - tail[0][0]) if len(tail) > 1 else 1
+    art = {
+        "metric": "lifelong_warehouse_scans_per_sec",
+        "scans_processed": int(n_scans), "raw_scans": len(data),
+        "laps": laps,
+        "value_no_exclusions": round(sps_raw, 1),
+        "value_stall_filtered": round(sps_f, 1),
+        "wall_s": round(wall, 1), "stalls_excluded_s": round(stall, 1),
+        "unit": "scans/s",
+        "final_nodes": int(nodes),
+        "nodes_vs_scans": curve,
+        "tail_growth_nodes_per_scan": round(
+            tail_growth / max(tail_scans, 1), 4),
+        "pipeline": "streaming_f32_chain_rasters",
+        "note": "steady-state decay (LifelongConfig."
+                "steady_state_min_candidates, PARITY.md §Known): in "
+                "over-covered areas the worst-scoring redundant node is "
+                "removed per added scan, so revisit laps hold the node "
+                "count flat.",
+    }
+    with open(os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "CONFIG3.json"), "w") as f:
+        json.dump(art, f, indent=1)
+    _emit("lifelong_warehouse_scans_per_sec", sps_raw, "scans/s", 50.0)
     return 0
 
 
@@ -433,9 +464,19 @@ def cmd_config4(args) -> int:
     # 8-scan lag costs 10-20 cm at these odometry noise levels. With the
     # fused pool-gather chain matching the drain bookkeeping is cheap, so
     # a short cadence keeps both error and throughput
-    loc = SlamSession(_cfg(minimum_travel_distance=0.2), laser,
+    # round-3: the LOCALIZATION self-similarity defenses (reference
+    # coarse-variance default 0.16 instead of the loose yaml 3.0, a
+    # fine-variance ceiling, and a 1 m closure-jump cap — drift between
+    # corrections is cm-scale, so a 2 m row-aliased correction is
+    # rejected; PoseGraph._loop_accept, PARITY.md §Known)
+    loc = SlamSession(_cfg(minimum_travel_distance=0.2,
+                           loop_match_maximum_variance_coarse=0.16,
+                           loop_match_maximum_variance_fine=0.09,
+                           loop_closure_maximum_jump=1.0,
+                           localization_solve_radius=20.0,
+                           loop_attempt_interval_scans=16), laser,
                       mode="localization", streaming=True,
-                      drain_every=min(args.drain, 4))
+                      drain_every=min(args.drain, 16))
     if os.environ.get("BENCH_STATS") == "1":
         loc.stats.enabled = True
     t_de = time.time()
@@ -455,25 +496,52 @@ def cmd_config4(args) -> int:
         t_prev = t_now
         if t_now - t0 > args.budget:
             break
-    lat = np.asarray(lat[5:])
-    steady = lat[lat < 5.0]
-    sps = float(len(steady) / steady.sum()) if steady.sum() > 0 else 0.0
+    wall = time.time() - t0
+    lat_a = np.asarray(lat)
+    # headline: NO exclusions (VERDICT r2 weak #7); the stall-filtered
+    # number (>5 s compile stalls subtracted) is reported alongside
+    sps = float(len(lat_a) / wall) if wall > 0 else 0.0
+    stall = float(lat_a[lat_a >= 5.0].sum()) if len(lat_a) else 0.0
+    sps_filtered = float(len(lat_a) / max(wall - stall, 1e-9))
     rmse = float(np.sqrt(np.mean(np.square(err)))) if err else None
-    if err:
-        e = np.asarray(err)
-        print(f"# config4 localization err p50={np.percentile(e,50):.3f} "
-              f"p90={np.percentile(e,90):.3f} max={e.max():.3f} "
-              f"RMSE={rmse:.3f}", file=sys.stderr)
+    e = np.asarray(err) if err else np.zeros(1)
+    print(f"# config4 localization err p50={np.percentile(e,50):.3f} "
+          f"p95={np.percentile(e,95):.3f} max={e.max():.3f} "
+          f"RMSE={rmse if rmse is None else round(rmse,3)}",
+          file=sys.stderr)
     # the error floor here is the PRIOR MAP's own frame error in the
     # aisle-ambiguous warehouse (p50 ~0.22 m vs ground truth) — the
     # localizer tracks the map it was given, not ground truth; the bound
     # guards against divergence, not map error
     assert rmse is None or rmse < 0.35, f"localization drift: {rmse}"
+    # no multi-meter excursions (round-2's wrong-row closures): the
+    # extended gates must keep the worst online error under a row pitch
+    assert float(e.max()) < 2.0, f"excursion: max err {e.max():.2f} m"
     if os.environ.get("BENCH_STATS") == "1":
         for k, v in loc.stats.summary().items():
             print(f"# stage {k}: {v}", file=sys.stderr)
             print(f"#   samples {loc.stats.samples[k][:40]}",
                   file=sys.stderr)
+    art = {
+        "metric": "localization_scans_per_sec",
+        "prior_nodes": int(loc.mapper.solver.n_nodes),
+        "scans_localized": int(len(lat_a)),
+        "value_no_exclusions": round(sps, 1),
+        "value_stall_filtered": round(sps_filtered, 1),
+        "wall_s": round(wall, 1), "stalls_excluded_s": round(stall, 1),
+        "unit": "scans/s",
+        "err_p50_m": round(float(np.percentile(e, 50)), 3),
+        "err_p95_m": round(float(np.percentile(e, 95)), 3),
+        "err_max_m": round(float(e.max()), 3),
+        "rmse_m": None if rmse is None else round(rmse, 3),
+        "pipeline": "streaming_f32_chain_rasters",
+        "note": "online pose error vs ground truth during elastic "
+                "localization; gates: coarse var<0.16, fine var<0.09, "
+                "jump<1.0 m (round-3 self-similarity defenses)",
+    }
+    with open(os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "CONFIG4.json"), "w") as f:
+        json.dump(art, f, indent=1)
     _emit("localization_scans_per_sec", sps, "scans/s", 50.0)
     return 0
 

@@ -68,6 +68,18 @@ class MapperConfig:
     # multi-meter jump is an aliased aisle/row, not a discovery)
     loop_match_maximum_variance_fine: float = float("inf")
     loop_closure_maximum_jump: float = float("inf")
+    # Windowed elastic solve (ours; 0 = reference behavior = full-graph
+    # solve per closure): when a closure fires, only nodes within this
+    # radius (m) of the query move; the window boundary is held as fixed
+    # anchors (PoseGraph.correct_poses / solver.compute_window). Against
+    # a converged 100k-node prior the full solve costs seconds per
+    # closure while moving the far field by ~nothing.
+    localization_solve_radius: float = 0.0
+    # Rate-limit streaming loop-closure attempts to one per this many
+    # accepted scans (0 = attempt every drain, the default cadence).
+    # Each attempt costs a candidate sweep + fused verify; localization
+    # at small drains re-anchors far more often than drift warrants.
+    loop_attempt_interval_scans: int = 0
 
     # Sequential correlation grid (Mapper.cpp:2209-2225)
     correlation_search_space_dimension: float = 0.3
@@ -144,6 +156,7 @@ LOCALIZATION = ONLINE_SYNC.replace(
     loop_match_maximum_variance_coarse=0.4 ** 2,
     loop_match_maximum_variance_fine=0.3 ** 2,
     loop_closure_maximum_jump=1.0,
+    localization_solve_radius=20.0,
 )
 
 # mapper_params_online_async.yaml: mapper parameters are IDENTICAL to the

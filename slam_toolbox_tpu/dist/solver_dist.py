@@ -28,7 +28,7 @@ AXIS = "graph"
 
 def make_distributed_gn_step(
     mesh: Mesh, n_nodes: int, cg_iters: int = 50, schwarz: bool = True,
-    block: int = 512,
+    block: int = 512, cblock: int = 64,
 ):
     """Returns a jitted, shard_mapped function computing one damped GN step.
 
@@ -38,18 +38,25 @@ def make_distributed_gn_step(
       replicated; lm_lambda scalar.
     Output: (new_poses (N,3), chi2 scalar, cg_iters_used) replicated.
 
-    Preconditioner (schwarz=True, the default): block-Jacobi additive
-    Schwarz over FIXED-size contiguous node blocks (`block` nodes; a
-    device owns n/(n_dev*block) blocks and batch-Cholesky-factors them
-    once per GN step — a batched (3*block)^3 dense factor that maps
-    straight onto the MXU). Every intra-block loop edge is inside the
-    factor (`plocal` marks them), so PCG only iterates on the
-    block-boundary coupling: iteration counts depend on the chosen block
-    size, NOT on n or on the device count — which also makes scaling
-    numbers across mesh sizes an apples-to-apples comparison. The
-    odometry-chain PCR preconditioner (schwarz=False fallback) leaves
-    2D-grid-like loop coupling to CG and needs O(width^2) iterations on
-    warehouse graphs."""
+    Preconditioner (schwarz=True, the default): TWO-LEVEL additive
+    Schwarz. Level 1 is block-Jacobi over FIXED-size contiguous node
+    blocks (`block` nodes; a device owns n/(n_dev*block) blocks and
+    batch-Cholesky-factors them once per GN step — a batched
+    (3*block)^3 dense factor that maps straight onto the MXU); every
+    intra-block loop edge is inside the factor (`plocal` marks them).
+    Level 2 is a COARSE-SPACE correction: one 3-dof aggregate per block
+    (piecewise-constant restriction), with the (NB*3)^2 Galerkin coarse
+    operator assembled from the edge shards (one psum), factored
+    replicated, and applied multiplicatively after the fine sweep
+    (z = z1 + R^T A_c^-1 R (r - A z1)). Single-level block Jacobi
+    propagates information one block per iteration, so its PCG counts
+    grow with n/block — the round-2 DIST_SCALING capped out at 200
+    iterations by n=12k; the coarse solve carries the global (rigid-ish)
+    modes directly, keeping iteration counts bounded and independent of
+    BOTH graph size and device count (asserted in scripts/bench_dist.py).
+    The odometry-chain PCR preconditioner (schwarz=False fallback)
+    leaves 2D-grid-like loop coupling to CG and needs O(width^2)
+    iterations on warehouse graphs."""
 
     def local_normal(poses, src, dst, rel, sqrt_info, emask):
         r = edge_residual(poses, src, dst, rel, sqrt_info, emask)
@@ -102,7 +109,8 @@ def make_distributed_gn_step(
             # crossing/foreign edges), overwrite each block's diagonal
             # with the globally-reduced damped diagonal, then one BATCHED
             # Cholesky over the device's blocks
-            start = jax.lax.axis_index(AXIS) * nb
+            start = jnp.int32(jax.lax.axis_index(AXIS)) * jnp.int32(nb)
+            _z = jnp.int32(0)
             rel_idx_s = src - start
             rel_idx_d = dst - start
             blk = jnp.where(plocal, rel_idx_s // block, bpd)
@@ -118,7 +126,7 @@ def make_distributed_gn_step(
             H5 = H5[:bpd]
             rng = jnp.arange(block)
             diag_slice = jax.lax.dynamic_slice(
-                diag_d, (start, 0, 0), (nb, 3, 3)
+                diag_d, (start, _z, _z), (nb, 3, 3)
             ).reshape(bpd, block, 3, 3)
             H5 = H5.at[:, rng, rng].set(diag_slice)
             free_l = jax.lax.dynamic_slice(
@@ -135,9 +143,87 @@ def make_distributed_gn_step(
             )
             chol = jnp.linalg.cholesky(Hd)  # batched over blocks
 
-            def prec(r):
+            # coarse space: per-block RIGID-BODY modes (GDSW-style).
+            # The pose-graph Hessian's near-null space is the global
+            # rigid motions — rotation couples theta with a SPATIALLY
+            # VARYING xy displacement, so a piecewise-constant coarse
+            # space cannot represent the low modes and CG still needed
+            # O(n/block) iterations (round-2 DIST_SCALING saturated its
+            # 200 cap by n=12k). Per-block prolongation at node i with
+            # block centroid c:  P_i = [[1,0,-(py-cy)],
+            #                           [0,1, px-cx ],
+            #                           [0,0,   1   ]]
+            # (coeffs = block translation + rotation about c). Galerkin
+            # A_c = P^T F A F P: the off-diagonal part comes from this
+            # device's edge shard (psum); the (replicated) damped
+            # diagonal folds in locally.
+            # coarse aggregates are FINER than the solve blocks: the
+            # fine level solves each `block` exactly, so the coarse
+            # level's job is the inter-block error — aggregate size sets
+            # the two-level condition number (~H_c/h), so smaller is
+            # better until the replicated dense coarse factor dominates;
+            # clamp NB to keep that factor cheap at 500k+ nodes
+            cb = cblock
+            while n_nodes // cb > 2048:
+                cb *= 2
+            cb = min(cb, n_nodes)
+            while n_nodes % cb:
+                cb *= 2
+            NB = n_nodes // cb
+            blk_of = jnp.arange(n_nodes) // cb
+            w_node = free  # fixed/padding nodes excluded from the space
+            # per-block centroid of free nodes (poses replicated, so
+            # every device computes the identical centroids — no psum)
+            cent_n = jnp.zeros((NB, 2), poses.dtype).at[blk_of].add(
+                poses[:, :2] * w_node[:, None], mode="drop"
+            )
+            cent_d = jnp.zeros((NB,), poses.dtype).at[blk_of].add(
+                w_node, mode="drop"
+            )
+            cent = cent_n / jnp.maximum(cent_d, 1.0)[:, None]
+
+            def p_node(idx):
+                """(len(idx), 3, 3) prolongation blocks P_i."""
+                rel_xy = poses[idx, :2] - cent[blk_of[idx]]
+                z = jnp.zeros_like(rel_xy[:, 0])
+                o = jnp.ones_like(z)
+                return jnp.stack([
+                    jnp.stack([o, z, -rel_xy[:, 1]], -1),
+                    jnp.stack([z, o, rel_xy[:, 0]], -1),
+                    jnp.stack([z, z, o], -1),
+                ], axis=-2)
+
+            all_idx = jnp.arange(n_nodes)
+            P_all = p_node(all_idx)          # (n, 3, 3)
+            wfree = (free[src] * free[dst]) * emask.astype(poses.dtype)
+            # edge contribution: P_s^T hab P_d into block pair (bs, bd)
+            Ps = P_all[src]
+            Pd = P_all[dst]
+            hab_c = jnp.einsum(
+                "eji,ejk,ekl->eil", Ps, hab, Pd
+            ) * wfree[:, None, None]
+            cbs = jnp.where(emask, src // cb, NB)
+            cbd = jnp.where(emask, dst // cb, NB)
+            Ac = jnp.zeros((NB + 1, NB + 1, 3, 3), poses.dtype)
+            Ac = Ac.at[cbs, cbd].add(hab_c, mode="drop")
+            Ac = Ac.at[cbd, cbs].add(
+                jnp.swapaxes(hab_c, 1, 2), mode="drop"
+            )
+            Ac = jax.lax.psum(Ac[:NB, :NB], AXIS)
+            diag_c = jnp.einsum(
+                "nji,njk,nkl->nil", P_all, diag_d, P_all
+            ) * w_node[:, None, None]
+            Ac = Ac.at[blk_of, blk_of].add(diag_c, mode="drop")
+            Acd = Ac.transpose(0, 2, 1, 3).reshape(NB * 3, NB * 3)
+            # tiny Tikhonov keeps empty/fixed-only aggregates SPD
+            Acd = Acd + jnp.eye(NB * 3, dtype=poses.dtype) * (
+                1e-8 * jnp.trace(Acd) / (NB * 3) + 1e-12
+            )
+            chol_c = jnp.linalg.cholesky(Acd)
+
+            def fine(r):
                 r_l = jax.lax.dynamic_slice(
-                    r, (start, 0), (nb, 3)
+                    r, (start, _z), (nb, 3)
                 ).reshape(bpd, block * 3)
                 z_l = jax.vmap(
                     lambda c, rr: jax.scipy.linalg.cho_solve(
@@ -148,9 +234,35 @@ def make_distributed_gn_step(
                 z = jax.lax.dynamic_update_slice(
                     z,
                     z_l.reshape(nb, 3) * free_l.reshape(nb)[:, None],
-                    (start, 0),
+                    (start, _z),
                 )
                 return jax.lax.psum(z, AXIS) * free[:, None]
+
+            def coarse(r):
+                # restrict: rc[b] = sum_{i in b} P_i^T r_i (free only)
+                rn = jnp.einsum(
+                    "nji,nj->ni", P_all, r * w_node[:, None]
+                )
+                rc = jnp.zeros((NB, 3), poses.dtype).at[blk_of].add(
+                    rn, mode="drop"
+                ).reshape(NB * 3)
+                zc = jax.scipy.linalg.cho_solve(
+                    (chol_c, True), rc
+                ).reshape(NB, 3)
+                # prolong: z_i = P_i zc[b(i)]
+                z = jnp.einsum("nij,nj->ni", P_all, zc[blk_of])
+                return z * w_node[:, None]
+
+            def prec(r):
+                # SYMMETRIZED multiplicative two-level (fine -> coarse
+                # -> fine V-cycle). A one-sided multiplicative sweep is
+                # a NON-SYMMETRIC operator and silently breaks CG's
+                # recurrences (observed as saturation at the iteration
+                # cap in late low-damping LM steps); the M1-Mc-M1
+                # sandwich is SPD, so CG theory applies
+                z1 = fine(r)
+                z2 = z1 + coarse(r - mv(z1))
+                return z2 + fine(r - mv(z2))
         else:
             # odometry-chain preconditioner: chain coupling blocks are
             # built from the local edge shard and psum-reduced, then
@@ -183,31 +295,46 @@ def make_distributed_gn_step(
         r0 = b - mv(x0)
         z0 = prec(r0)
         rz0 = jnp.sum(r0 * z0)
-        # relative termination: r stops being resolvable in f32 around
-        # 1e-5 * ||b||; iterating past that wastes collectives
-        rr_stop = jnp.float32(1e-10) * jnp.sum(b * b)
+        # relative termination, dtype-aware: r stops being resolvable in
+        # f32 around 1e-5 * ||b|| (1e-11 in f64); iterating past that
+        # wastes collectives
+        rtol = 1e-11 if poses.dtype == jnp.float64 else 1e-5
+        rr_stop = jnp.asarray(rtol * rtol, poses.dtype) * jnp.sum(b * b)
 
         def body(state):
-            i, x, r, p, rz = state
+            i, x, r, p, rz, rr_ckpt = state
             hp = mv(p)
             alpha = rz / jnp.maximum(jnp.sum(p * hp), 1e-30)
             x = x + alpha * p
-            # periodic true-residual restart against f32 recurrence drift
-            restart = (i % 64) == 63
+            # periodic true-residual restart against recurrence drift;
+            # doubles as a STAGNATION probe: near the optimum the
+            # gradient is below the dtype's resolvable floor and CG
+            # would otherwise spin at the cap doing nothing (observed:
+            # late low-damping LM steps pinned at 200 with chi2 already
+            # converged) — if a whole restart period bought less than a
+            # 2x residual reduction, the floor is reached: stop
+            restart = (i % 32) == 31
             r = jnp.where(restart, b - mv(x), r - alpha * hp)
+            rr = jnp.sum(r * r)
+            stalled = restart & (rr > 0.25 * rr_ckpt)
+            rr_ckpt = jnp.where(restart, rr, rr_ckpt)
             z = prec(r)
             rz_new = jnp.sum(r * z)
             beta = jnp.where(
                 restart, 0.0, rz_new / jnp.maximum(rz, 1e-30)
             )
-            return i + 1, x, r, z + beta * p, rz_new
+            i_next = jnp.where(stalled, cg_iters, i + 1)
+            return i_next, x, r, z + beta * p, rz_new, rr_ckpt
 
         def cond(state):
-            i, _, r, _, _ = state
-            return (i < cg_iters) & (jnp.sum(r * r) > rr_stop)
+            i, _, r, _, rz, _ = state
+            # rz <= 0 means the preconditioned residual is at the dtype
+            # noise floor (prec is SPD analytically)
+            return ((i < cg_iters) & (jnp.sum(r * r) > rr_stop)
+                    & (rz > 0))
 
-        it, x, _, _, _ = jax.lax.while_loop(
-            cond, body, (0, x0, r0, z0, rz0)
+        it, x, _, _, _, _ = jax.lax.while_loop(
+            cond, body, (0, x0, r0, z0, rz0, jnp.sum(r0 * r0))
         )
 
         new_poses = poses + x
@@ -254,16 +381,20 @@ def distributed_lm_solve(
     function_tolerance: float = 1e-3,
     cg_iters: int = 200,
     block: int = 512,
+    dtype=np.float32,
 ):
     """Host LM loop over the distributed GN step. Edge arrays must be
     padded to a multiple of the mesh size.
 
     cg_iters is a BOUNDED budget (default matches the single-device
-    SolverConfig.cg_max_iterations): the distributed chain preconditioner
-    solves the odometry backbone exactly each iteration, so PCG only has
-    to iterate on the loop-closure coupling — iteration counts scale with
-    the number of loop constraints, not with n (asserted against a 10k+
-    node spatially-local graph in scripts/bench_dist.py)."""
+    SolverConfig.cg_max_iterations): the two-level Schwarz preconditioner
+    (intra-block dense factors + coarse aggregate solve) keeps the
+    iteration count bounded independent of n and of the device count
+    (asserted against 10k+ node spatially-local graphs in
+    scripts/bench_dist.py). dtype=np.float64 runs the whole solve —
+    residuals, psum reductions, CG recurrences — in f64 for sub-mm
+    parity with the host solver (use on CPU meshes; real-TPU f64 is
+    emulated and slow)."""
     n_dev = mesh.devices.size
     e = len(src)
     assert e % n_dev == 0, "pad edges to a multiple of the mesh size"
@@ -319,16 +450,16 @@ def distributed_lm_solve(
     def put_rep(a):
         return jax.make_array_from_process_local_data(rep, a, a.shape)
 
-    poses_j = put_rep(poses.astype(np.float32))
+    poses_j = put_rep(poses.astype(dtype))
     args = (
         put_sharded(src2.astype(np.int32)),
         put_sharded(dst2.astype(np.int32)),
-        put_sharded(rel2.astype(np.float32)),
-        put_sharded(si2.astype(np.float32)),
+        put_sharded(rel2.astype(dtype)),
+        put_sharded(si2.astype(dtype)),
         put_sharded(em2),
     )
     plocal_j = put_sharded(pl2)
-    free_j = put_rep(free.astype(np.float32))
+    free_j = put_rep(free.astype(dtype))
 
     chi2_fn = make_distributed_chi2(mesh)
     lam = initial_lambda
@@ -336,7 +467,7 @@ def distributed_lm_solve(
     cg_iter_log = []
     for _ in range(max_iterations):
         new_poses, cur_chi2, cg_used = step(
-            poses_j, *args, plocal_j, free_j, jnp.float32(lam)
+            poses_j, *args, plocal_j, free_j, jnp.asarray(lam, dtype)
         )
         cur_chi2 = float(cur_chi2)
         cg_iter_log.append(int(cg_used))

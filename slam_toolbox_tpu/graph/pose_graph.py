@@ -1224,7 +1224,7 @@ class PoseGraph:
                     self.link_chain_to_scan(
                         chain, scan, fine.sensor_pose, fine.covariance
                     )
-                    self.correct_poses()
+                    self.correct_poses(center_scan=scan)
                     self.mapper.fire_end_loop_closure("Loop closed!")
                     closed = True
                     closed_this_round = True
@@ -1358,28 +1358,66 @@ class PoseGraph:
                 self.link_chain_to_scan(
                     chain, scan, fine.sensor_pose, fine.covariance
                 )
-                self.correct_poses()
+                self.correct_poses(center_scan=scan)
                 self.mapper.fire_end_loop_closure("Loop closed!")
                 return True
             if fine.response < cfg.loop_match_minimum_response_fine:
                 self.mapper.fire_loop_closure_check("REJECTED!")
         return False
 
-    def correct_poses(self) -> None:
+    def correct_poses(self, center_scan=None) -> None:
         """CorrectPoses (Mapper.cpp:2012-2030): solver Compute + write
-        corrected poses back into the scans."""
+        corrected poses back into the scans.
+
+        With `localization_solve_radius` > 0 and a center scan (the
+        closure query), the solve is WINDOWED: only nodes within the
+        radius move; everything beyond is held as fixed anchors
+        (solver.compute_window). Corrections from a new loop edge decay
+        exponentially with graph distance, so against a large converged
+        prior the full elastic solve (2.9 s/closure at a 100k-node
+        prior) moves the far field by ~nothing — the window keeps
+        localization real-time while staying elastic where it matters
+        (equivalence bounds tested in tests/test_windowed_solve.py;
+        radius 0 = exact reference behavior, PARITY.md §Known)."""
         from slam_toolbox_tpu.utils.metrics import stage_timer
 
         solver = self.mapper.solver
         if solver is None:
             return
-        with stage_timer(self.mapper.stats, "solve"):
-            corrections = solver.compute()
+        cfg = self.mapper.config
+        radius = getattr(cfg, "localization_solve_radius", 0.0)
+        corrections = None
+        windowed = False
+        if (radius > 0.0 and center_scan is not None
+                and hasattr(solver, "compute_window")):
+            (scans_q, _, xy, present, _, _) = self._query_structure()
+            n = len(scans_q)
+            if n:
+                c = center_scan.reference_pose(
+                    cfg.use_scan_barycenter
+                )[:2]
+                d2 = np.sum((xy[:n] - c) ** 2, axis=1)
+                sel = np.flatnonzero(
+                    (d2 <= radius * radius) & (present[:n] > 0)
+                )
+                active = [scans_q[i].unique_id for i in sel]
+                if active:
+                    with stage_timer(self.mapper.stats, "solve"):
+                        corrections = solver.compute_window(active)
+                    windowed = corrections is not None
+        if not windowed:
+            with stage_timer(self.mapper.stats, "solve"):
+                corrections = solver.compute()
+        stale = set()
         for uid, pose in corrections:
             s = self.mapper.sensor_manager.get_scan_by_unique_id(uid)
             if s is not None:
                 s.set_corrected_pose(pose)
+                stale.add(uid)
         solver.clear()
         self._bump()
         self.pose_revision += 1
-        self._q_xy_stale = "ALL"
+        if windowed and isinstance(self._q_xy_stale, set):
+            self._q_xy_stale |= stale
+        else:
+            self._q_xy_stale = "ALL"

@@ -29,6 +29,19 @@ class LifelongConfig:
     nearby_penalty: float = 0.001     # lifelong_nearby_penalty
     candidates_scale: float = 0.03    # lifelong_candidates_scale
     use_tree: bool = False            # lifelong_search_use_tree
+    # Steady-state extension (ours — documented in PARITY.md §Known):
+    # the reference objective alone does not reach a plateau: a node with
+    # >=3 constraints gets a constraint boost that cancels the overlap
+    # subtraction, so it decays at only nearby_penalty (0.001) per
+    # evaluation — on a 40-lap revisit workload removals ran ~0.2/scan
+    # against 1.0 added (round-2 CONFIG3: "not yet plateaued"). When a
+    # new scan's redundant-candidate count (already IOU- and
+    # constraint-filtered) reaches steady_state_min_candidates, the area
+    # is demonstrably over-covered: force-remove the worst-scoring
+    # unprotected candidate so removals match additions on revisits
+    # (net growth 0 by construction), with one extra removal per scan
+    # above 3x the threshold to shrink over-dense regions. 0 disables.
+    steady_state_min_candidates: int = 20
 
 
 def _half_extents(scan):
@@ -150,14 +163,71 @@ class LifelongMapper:
 
         removed = []
         for c in filtered:
-            score = self._score(scan, c, len(filtered))
-            if score < self.cfg.removal_score:
+            score, protected = self._score(scan, c, len(filtered))
+            if not protected and score < self.cfg.removal_score:
                 mapper.remove_node_from_graph(c)
                 self.scores.pop(c.unique_id, None)
                 removed.append(c.unique_id)
             else:
                 self.scores[c.unique_id] = score
+
+        # steady-state top-up: in a well-covered area every added scan
+        # must be paid for by a removal or the graph grows without bound
+        if self.cfg.steady_state_min_candidates > 0:
+            removed.extend(self._steady_state_topup(scan, len(removed)))
         return removed
+
+    def _steady_state_topup(self, scan, already_removed: int):
+        """Force-remove the most redundant node(s) when the scan's area
+        is demonstrably over-covered (PARITY.md §Known).
+
+        Candidates come from a POSITION query over all vertices (the
+        graph's vectorized query structure), NOT the linked BFS the
+        reference scoring uses: removals thin link connectivity, so a
+        BFS-scoped candidate set shrinks toward the trigger threshold
+        while spatially-redundant but link-distant nodes become
+        unremovable zombies — measured +37 nodes/lap of residual growth
+        on a 6-lap loop with the BFS-scoped variant. Ranking prefers the
+        lowest stored score, then the highest IOU with the current scan
+        (most redundant coverage). The recent window and nodes 0/1 stay
+        protected; n_con>=2 is NOT required here — a leaf node is the
+        safest possible removal."""
+        mapper = self.mapper
+        cfg_m = mapper.config
+        (scans_q, _, xy, present, _, _) = mapper.graph._query_structure()
+        n = len(scans_q)
+        if n == 0:
+            return []
+        bb = scan.bounding_box
+        radius = float(np.hypot(*(bb[1] - bb[0])) / 2.0)
+        center = scan.reference_pose(cfg_m.use_scan_barycenter)[:2]
+        d2 = np.sum((xy[:n] - center) ** 2, axis=1)
+        near = np.flatnonzero((d2 <= radius * radius) & (present[:n] > 0))
+        buf = cfg_m.scan_buffer_size
+        cands = []
+        for i in near:
+            c = scans_q[i]
+            if c is None or c is scan:
+                continue
+            if (c.unique_id in (0, 1)
+                    or scan.unique_id - c.unique_id < buf):
+                continue
+            v = iou(scan, c)
+            if v >= self.cfg.iou_thresh:
+                cands.append((self.scores.get(c.unique_id, 1.0), -v, c))
+        f_min = self.cfg.steady_state_min_candidates
+        if len(cands) < f_min:
+            return []
+        want = 1 + (len(cands) >= 3 * f_min) - already_removed
+        if want <= 0:
+            return []
+        cands.sort(key=lambda t: (t[0], t[1], t[2].unique_id))
+        out = []
+        for _, _, c in cands[:want]:
+            mapper.remove_node_from_graph(c)
+            self.scores.pop(c.unique_id, None)
+            out.append(c.unique_id)
+        return out
 
     def stream_hook(self, scan) -> bool:
         """post_finish hook for the streaming pipeline: run decay after
@@ -166,18 +236,32 @@ class LifelongMapper:
             sess = SlamSession(cfg, laser, streaming=True)
             ll = LifelongMapper(sess.mapper)
             sess._ensure_pipe().post_finish = ll.stream_hook
-        """
-        return bool(self.evaluate_node_depreciation(scan))
 
-    def _score(self, ref_scan, candidate, num_candidates) -> float:
+        The device ring mirrors only the RUNNING buffer; decay removals
+        are protected out of the recent window (id_diff >=
+        scan_buffer_size), so they normally don't touch it — resync only
+        when one actually did (it would force a refresh + batch re-run
+        per drain otherwise, the round-2 steady-state throughput tax)."""
+        removed = self.evaluate_node_depreciation(scan)
+        if not removed:
+            return False
+        sm = self.mapper.sensor_manager
+        name = scan.laser.name
+        running = {s.unique_id for s in sm.get_running_scans(name)}
+        last = sm.get_last_scan(name)
+        if last is not None:
+            running.add(last.unique_id)
+        return bool(set(removed) & running)
+
+    def _score(self, ref_scan, candidate, num_candidates):
         """computeScore (:255-292): recent scans and the first two nodes
-        are protected."""
+        are protected. Returns (score, protected)."""
         mapper = self.mapper
         initial = self.scores.get(candidate.unique_id, 1.0)
         critical = candidate.unique_id in (0, 1)
         id_diff = ref_scan.unique_id - candidate.unique_id
         if id_diff < mapper.config.scan_buffer_size or critical:
-            return initial
+            return initial, True
         n_con = len(mapper.graph.adjacency.get(candidate.unique_id, []))
         return objective_score(
             self.cfg,
@@ -187,4 +271,4 @@ class LifelongMapper:
             n_con,
             initial,
             num_candidates,
-        )
+        ), False

@@ -834,7 +834,15 @@ class StreamingPipeline:
         # speculative loop verify for the batch's newest scan: rides the
         # same device stream, its rows are ready by the next commit's
         # settle so the settle-first ordering pays only the solve
-        if (SPEC_LOOP and self.mapper.config.do_loop_closing
+        interval = getattr(
+            self.mapper.config, "loop_attempt_interval_scans", 0
+        )
+        will_attempt = (
+            getattr(self, "_scans_since_loop", 0) + len(pd.scans)
+            >= interval
+        )
+        if (SPEC_LOOP and will_attempt
+                and self.mapper.config.do_loop_closing
                 and any(c is not None for c in pred_chains)):
             pred_loop = self.mapper.graph.predict_loop_chains(
                 pd.scans, anchor, pd.scans[-1].laser.name,
@@ -1176,8 +1184,24 @@ class StreamingPipeline:
             # chains persist across consecutive scans, so closures fire a
             # few scans later at most). Single-sensor case: dispatch the
             # fused verify and DEFER the fetch to the next commit/settle
-            # so its device time overlaps later accumulation
-            if matching and self.mapper.config.do_loop_closing:
+            # so its device time overlaps later accumulation.
+            # loop_attempt_interval_scans > 0 additionally rate-limits
+            # attempts (localization at tiny drains re-anchors every few
+            # scans otherwise — each event costs a sweep + verify, and
+            # inter-anchor odometry drift is cm-scale)
+            self._scans_since_loop = getattr(
+                self, "_scans_since_loop", 0
+            ) + n
+            interval = getattr(
+                self.mapper.config, "loop_attempt_interval_scans", 0
+            )
+            attempt_loop = (
+                matching and self.mapper.config.do_loop_closing
+                and self._scans_since_loop >= interval
+            )
+            if attempt_loop:
+                self._scans_since_loop = 0
+            if attempt_loop:
                 last_scan = scans[-1]
                 names = sm.sensor_names()
                 if len(names) == 1:

@@ -667,6 +667,85 @@ class PoseGraphSolver:
             self._poses[i] = result[i].copy()
         return self.corrections
 
+    def compute_window(self, active_ids):
+        """Windowed elastic solve: only `active_ids` move; every node
+        they share an edge with (the window boundary) is held as a
+        FIXED anchor, and the rest of the graph does not even enter the
+        subproblem. Returns corrections for active nodes only (or None
+        when the native sparse path is unavailable — callers fall back
+        to the full compute()).
+
+        Rationale (BASELINE config 4): an accepted localization closure
+        against a converged 100k-node prior triggered a 2.9 s full
+        elastic solve + a 100k-scan correction writeback — while the
+        correction outside the query's neighborhood is ~zero (it decays
+        exponentially with graph distance through well-constrained
+        odometry chains). The boundary anchors make the window a strict
+        approximation of the full solve; tests/test_windowed_solve.py
+        bounds the in-window disagreement. No reference counterpart
+        (Ceres always solves the whole problem, ceres_solver.cpp:214) —
+        documented in PARITY.md §Known; radius 0 disables."""
+        import time as _time
+
+        t0 = _time.perf_counter()
+        n_all = len(self._ids)
+        act_idx = [
+            self._id_to_idx[i] for i in active_ids
+            if i in self._id_to_idx
+        ]
+        if not act_idx or n_all == 0:
+            return []
+        in_act = np.zeros(n_all, bool)
+        in_act[act_idx] = True
+        sub_edges = []
+        sub_nodes = set(act_idx)
+        for (i1, i2), (rp, si) in self._edges.items():
+            a, b = self._id_to_idx[i1], self._id_to_idx[i2]
+            if in_act[a] or in_act[b]:
+                sub_edges.append((a, b, rp, si))
+                sub_nodes.add(a)
+                sub_nodes.add(b)
+        if not sub_edges:
+            return []
+        order = sorted(sub_nodes)
+        l_of = {g: k for k, g in enumerate(order)}
+        m = len(order)
+        poses = np.stack([self._poses[g] for g in order])
+        e = len(sub_edges)
+        src = np.fromiter((l_of[a] for a, _, _, _ in sub_edges),
+                          np.int64, e)
+        dst = np.fromiter((l_of[b] for _, b, _, _ in sub_edges),
+                          np.int64, e)
+        rel = np.stack([rp for _, _, rp, _ in sub_edges])
+        si = np.stack([s for _, _, _, s in sub_edges])
+        free = np.fromiter((in_act[g] for g in order), np.float64, m)
+        if free.min() > 0.0:
+            # window swallowed its whole component: gauge-fix one node
+            gk = (l_of[self._id_to_idx[self._first_id]]
+                  if self._first_id in self._id_to_idx
+                  and self._id_to_idx[self._first_id] in l_of
+                  else 0)
+            free[gk] = 0.0
+        res = host_sparse_lm(poses, src, dst, rel, si, free, self.config)
+        if res is None:
+            return None
+        poses_out, chi2, iters = res
+        free_b = free.astype(bool)
+        for k, g in enumerate(order):
+            if free_b[k]:
+                self._poses[g] = poses_out[k].copy()
+        self.corrections = [
+            (self._ids[g], poses_out[l_of[g]].copy())
+            for g in act_idx
+        ]
+        self.last_stats = {
+            "n": m, "n_active": len(act_idx), "e": e,
+            "lm_iters": iters, "chi2": chi2, "window": True,
+            "host_sparse_ms": round(
+                1e3 * (_time.perf_counter() - t0), 2),
+        }
+        return self.corrections
+
     def _compute_host_sparse(self, n: int, e: int):
         """Unpadded f64 host LM with the native block-sparse Cholesky."""
         import time as _time
