@@ -103,6 +103,7 @@ class PoseGraph:
         ib = self._q_uid_to_idx.get(b_uid)
         if ia is None or ib is None:
             self._q_dirty = True
+            self._q_dirty_why = f"edge_uid_missing({a_uid},{b_uid})"
             return
         if self._q_ne >= len(self._q_esrc):
             self._q_esrc = np.resize(self._q_esrc, 2 * len(self._q_esrc))
@@ -112,6 +113,12 @@ class PoseGraph:
         self._q_ne += 1
 
     def _q_rebuild(self) -> None:
+        stats = getattr(self.mapper, "stats", None)
+        if stats is not None:
+            stats.count("q_rebuild")
+            stats.note("q_rebuild_why", getattr(self, "_q_dirty_why", "?"),
+                       len(self._q_scans))
+        self._q_dirty_why = None
         self._q_scans = []
         self._q_uid_to_idx = {}
         self._q_by_name = {}
@@ -350,6 +357,7 @@ class PoseGraph:
         slot = self._q_uid_to_idx.pop(uid, None)
         if slot is None:
             self._q_dirty = True
+            self._q_dirty_why = f"remove_unknown_uid({uid})"
         elif not self._q_dirty:
             self._q_present[slot] = 0
             self._q_tombstones += 1

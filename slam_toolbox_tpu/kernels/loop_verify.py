@@ -153,16 +153,30 @@ def _loop_verify_scan_impl(
 
     def step(carry, inp):
         pk, ps, cv = inp
-        row = _loop_verify_impl(
-            pk, ps, cv, scan_local, scan_finite, center, gates,
-            loop_args=loop_args, seq_args=seq_args,
-            loop_sigma=loop_sigma, seq_sigma=seq_sigma,
-            loop_half_span=loop_half_span, seq_half_span=seq_half_span,
-            loop_G=loop_G, loop_hk=loop_hk, loop_acc_r=loop_acc_r,
-            loop_parity=loop_parity, loop_na_c=loop_na_c,
-            loop_na_f=loop_na_f,
-            seq_G=seq_G, seq_hk=seq_hk, seq_acc_r=seq_acc_r,
-            seq_parity=seq_parity, seq_na_c=seq_na_c, seq_na_f=seq_na_f,
+
+        def live(_):
+            return _loop_verify_impl(
+                pk, ps, cv, scan_local, scan_finite, center, gates,
+                loop_args=loop_args, seq_args=seq_args,
+                loop_sigma=loop_sigma, seq_sigma=seq_sigma,
+                loop_half_span=loop_half_span,
+                seq_half_span=seq_half_span,
+                loop_G=loop_G, loop_hk=loop_hk, loop_acc_r=loop_acc_r,
+                loop_parity=loop_parity, loop_na_c=loop_na_c,
+                loop_na_f=loop_na_f,
+                seq_G=seq_G, seq_hk=seq_hk, seq_acc_r=seq_acc_r,
+                seq_parity=seq_parity, seq_na_c=seq_na_c,
+                seq_na_f=seq_na_f,
+            )
+
+        # padding chains (no valid member) skip the raster+score
+        # entirely: one big NC bucket then costs ~nothing per pad, so
+        # the (NC, Cb) executable family can stay tiny (cold remote
+        # compiles per bucket were the measured floor of the config-4
+        # single-pass run)
+        row = jax.lax.cond(
+            cv.any(), live,
+            lambda _: jnp.zeros((27,), jnp.float32), operand=None,
         )
         return carry, row
 
@@ -210,16 +224,30 @@ def _loop_verify_spec_impl(
 
     def step(carry, inp):
         pk, ps, cv = inp
-        row = _loop_verify_impl(
-            pk, ps, cv, scan_local, scan_finite, center, gates,
-            loop_args=loop_args, seq_args=seq_args,
-            loop_sigma=loop_sigma, seq_sigma=seq_sigma,
-            loop_half_span=loop_half_span, seq_half_span=seq_half_span,
-            loop_G=loop_G, loop_hk=loop_hk, loop_acc_r=loop_acc_r,
-            loop_parity=loop_parity, loop_na_c=loop_na_c,
-            loop_na_f=loop_na_f,
-            seq_G=seq_G, seq_hk=seq_hk, seq_acc_r=seq_acc_r,
-            seq_parity=seq_parity, seq_na_c=seq_na_c, seq_na_f=seq_na_f,
+
+        def live(_):
+            return _loop_verify_impl(
+                pk, ps, cv, scan_local, scan_finite, center, gates,
+                loop_args=loop_args, seq_args=seq_args,
+                loop_sigma=loop_sigma, seq_sigma=seq_sigma,
+                loop_half_span=loop_half_span,
+                seq_half_span=seq_half_span,
+                loop_G=loop_G, loop_hk=loop_hk, loop_acc_r=loop_acc_r,
+                loop_parity=loop_parity, loop_na_c=loop_na_c,
+                loop_na_f=loop_na_f,
+                seq_G=seq_G, seq_hk=seq_hk, seq_acc_r=seq_acc_r,
+                seq_parity=seq_parity, seq_na_c=seq_na_c,
+                seq_na_f=seq_na_f,
+            )
+
+        # padding chains (no valid member) skip the raster+score
+        # entirely: one big NC bucket then costs ~nothing per pad, so
+        # the (NC, Cb) executable family can stay tiny (cold remote
+        # compiles per bucket were the measured floor of the config-4
+        # single-pass run)
+        row = jax.lax.cond(
+            cv.any(), live,
+            lambda _: jnp.zeros((27,), jnp.float32), operand=None,
         )
         return carry, row
 
@@ -309,21 +337,28 @@ def _chain_match_impl(
 
     def step(c, inp):
         qi, ci, cv, ps, center = inp
-        qpack = pool[qi]
-        local = qpack[:, 0:2]
-        finite = (qpack[:, 7].astype(jnp.int32) & 1) > 0
-        packs = pool[ci]                     # (Cb, B, 8)
-        off = center[:2] - seq_half_span
-        grid, pgrid = _chain_raster(
-            packs, ps, cv, center[:2], off,
-            seq_args["scale"], seq_sigma, seq_G, seq_hk, seq_acc_r,
-            seq_parity,
-        )
-        row = _score_impl(
-            grid, pgrid, jnp.concatenate([center, off]), local, finite,
-            penalize=jnp.bool_(False),
-            grid_size=seq_G, na_coarse=seq_na_c, na_fine=seq_na_f,
-            acc_r=seq_acc_r, refine=True, **seq_args,
+
+        def live(_):
+            qpack = pool[qi]
+            local = qpack[:, 0:2]
+            finite = (qpack[:, 7].astype(jnp.int32) & 1) > 0
+            packs = pool[ci]                 # (Cb, B, 8)
+            off = center[:2] - seq_half_span
+            grid, pgrid = _chain_raster(
+                packs, ps, cv, center[:2], off,
+                seq_args["scale"], seq_sigma, seq_G, seq_hk, seq_acc_r,
+                seq_parity,
+            )
+            return _score_impl(
+                grid, pgrid, jnp.concatenate([center, off]), local,
+                finite, penalize=jnp.bool_(False),
+                grid_size=seq_G, na_coarse=seq_na_c, na_fine=seq_na_f,
+                acc_r=seq_acc_r, refine=True, **seq_args,
+            )
+
+        row = jax.lax.cond(
+            cv.any(), live,
+            lambda _: jnp.zeros((13,), jnp.float32), operand=None,
         )
         return c, row
 
@@ -359,22 +394,29 @@ def _chain_match_echo_impl(
 
     def step(c, inp):
         qi, ri, ci, cv, ps = inp
-        qpack = pool[qi]
-        local = qpack[:, 0:2]
-        finite = (qpack[:, 7].astype(jnp.int32) & 1) > 0
-        packs = pool[ci]
-        center = results[ri, 1:4]
-        off = center[:2] - seq_half_span
-        grid, pgrid = _chain_raster(
-            packs, ps, cv, center[:2], off,
-            seq_args["scale"], seq_sigma, seq_G, seq_hk, seq_acc_r,
-            seq_parity,
-        )
-        row = _score_impl(
-            grid, pgrid, jnp.concatenate([center, off]), local, finite,
-            penalize=jnp.bool_(False),
-            grid_size=seq_G, na_coarse=seq_na_c, na_fine=seq_na_f,
-            acc_r=seq_acc_r, refine=True, **seq_args,
+
+        def live(_):
+            qpack = pool[qi]
+            local = qpack[:, 0:2]
+            finite = (qpack[:, 7].astype(jnp.int32) & 1) > 0
+            packs = pool[ci]
+            center = results[ri, 1:4]
+            off = center[:2] - seq_half_span
+            grid, pgrid = _chain_raster(
+                packs, ps, cv, center[:2], off,
+                seq_args["scale"], seq_sigma, seq_G, seq_hk, seq_acc_r,
+                seq_parity,
+            )
+            return _score_impl(
+                grid, pgrid, jnp.concatenate([center, off]), local,
+                finite, penalize=jnp.bool_(False),
+                grid_size=seq_G, na_coarse=seq_na_c, na_fine=seq_na_f,
+                acc_r=seq_acc_r, refine=True, **seq_args,
+            )
+
+        row = jax.lax.cond(
+            cv.any(), live,
+            lambda _: jnp.zeros((13,), jnp.float32), operand=None,
         )
         return c, row
 
@@ -413,8 +455,9 @@ def dispatch_chain_matches_spec(seq_matcher, pairs, pool, results):
     ]
     if not _ensure_pooled(pool, involved):
         return None
-    NP = (2 if len(pairs) <= 2
-          else 8 if len(pairs) <= 8 else PAIR_CHUNK)
+    # one NP bucket: padded pairs skip via the lax.cond in the scan
+    # body, and every extra (NP, Cb) pair is its own cold remote compile
+    NP = PAIR_CHUNK
     Cb = max(chain_bucket(len(c)) for _, _, c in pairs)
     qidx = np.zeros(NP, np.int32)
     ridx = np.zeros(NP, np.int32)
@@ -461,11 +504,10 @@ def dispatch_chain_matches(seq_matcher, pairs, pool):
     out = []
     for k0 in range(0, len(pairs), PAIR_CHUNK):
         chunk = pairs[k0:k0 + PAIR_CHUNK]
-        # three NP buckets — every (NP, Cb) pair is its own multi-minute
-        # remote compile, but padded steps cost ~1.5-3 ms each and drains
-        # carry 2-12 pairs in practice
-        NP = (2 if len(chunk) <= 2
-              else 8 if len(chunk) <= 8 else PAIR_CHUNK)
+        # one NP bucket: padded pairs skip via the lax.cond in the
+        # scan body (each extra (NP, Cb) pair was its own multi-minute
+        # cold remote compile)
+        NP = PAIR_CHUNK
         Cb = max(chain_bucket(len(c)) for _, c in chunk)
         qidx = np.zeros(NP, np.int32)
         cidx = np.zeros((NP, Cb), np.int32)   # slot 0 = zero row
@@ -512,10 +554,13 @@ def _pack_dev(scan):
 
 
 def chain_count_bucket(n: int) -> int:
-    for b in (2, 4, 8):
+    # padded chains cost ~nothing (lax.cond skip in the scan bodies), so
+    # two coarse buckets replace the old {2,4,8,8k...} family — each
+    # distinct (NC, Cb) pair was a separate cold remote compile
+    for b in (8, 32):
         if n <= b:
             return b
-    return ((n + 7) // 8) * 8
+    return ((n + 31) // 32) * 32
 
 
 def dispatch_loop_verify(loop_matcher, seq_matcher, scan, chains, cfg,
