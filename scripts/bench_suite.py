@@ -207,12 +207,23 @@ def cmd_config3(args) -> int:
     print(f"# config3: {len(data)} raw scans, {laps} laps", file=sys.stderr)
 
     def one_pass(budget, tag):
-        sess = SlamSession(_cfg(), laser, streaming=True,
+        # chain minimum 5 (localization preset uses 3): decay replaces
+        # old laps, so surviving state-id runs are shorter than a fresh
+        # map's — the default 10 starves the loop sweep of candidates
+        sess = SlamSession(_cfg(loop_match_minimum_chain_size=5),
+                           laser, streaming=True,
                            drain_every=args.drain)
-        lifelong = LifelongMapper(sess.mapper)
+        if os.environ.get("BENCH_STATS") == "1":
+            sess.stats.enabled = True
+        from slam_toolbox_tpu.mapper.lifelong import LifelongConfig
+        ll_cfg = LifelongConfig()
+        if os.environ.get("SLAM_SS_MIN") is not None:  # A/B knob
+            ll_cfg = LifelongConfig(steady_state_min_candidates=int(
+                os.environ["SLAM_SS_MIN"]))
+        lifelong = LifelongMapper(sess.mapper, ll_cfg)
         sess._ensure_pipe().post_finish = lifelong.stream_hook
         t0 = time.time()
-        lat, curve = [], []
+        lat, curve, err, gts = [], [], [], []
         t_prev = t0
         for i, (scan, tp) in enumerate(data):
             out = sess.process_scan(scan.ranges, scan.odom_pose,
@@ -220,6 +231,8 @@ def cmd_config3(args) -> int:
             t_now = time.time()
             if out is not None:
                 lat.append(t_now - t_prev)
+                err.append(np.hypot(*(out[0][:2] - tp[:2])))
+                gts.append(tp)
             t_prev = t_now
             if i % 200 == 0:
                 nodes = sess.mapper.solver.n_nodes
@@ -236,10 +249,32 @@ def cmd_config3(args) -> int:
         curve.append([i, int(nodes)])
         sps_raw = len(lat) / max(wall, 1e-9)
         sps_f = len(lat) / max(wall - stall, 1e-9)
+        e = np.asarray(err) if err else np.zeros(1)
+        # map quality: ATE over the SURVIVING nodes' corrected poses
+        # (unique_id indexes the accepted order, so gts[uid] is each
+        # survivor's ground truth). The per-scan online pose lags by up
+        # to a drain of odometry propagation; the survivors' ATE is the
+        # actual post-correction map accuracy.
+        surv = sess.mapper.all_processed_scans()
+        ate = None
+        if surv and gts:
+            pairs = [(s.corrected_pose[:2], gts[s.unique_id][:2])
+                     for s in surv if s.unique_id < len(gts)]
+            if pairs:
+                est_a = np.stack([a for a, _ in pairs])
+                gt_a = np.stack([b for _, b in pairs])
+                ate = float(np.sqrt(np.mean(
+                    np.sum((est_a - gt_a) ** 2, axis=1))))
         print(f"# {tag} final nodes={nodes} after {len(lat)} scans "
               f"(decay bounds growth); wall={wall:.1f}s "
-              f"stalls={stall:.1f}s", file=sys.stderr)
-        return sps_raw, sps_f, len(lat), wall, stall, curve, nodes
+              f"stalls={stall:.1f}s online p50={np.percentile(e,50):.3f} "
+              f"p95={np.percentile(e,95):.3f} max={e.max():.3f} "
+              f"survivors ATE={ate}",
+              file=sys.stderr)
+        if os.environ.get("BENCH_STATS") == "1":
+            for k, v in sess.stats.summary().items():
+                print(f"# stage {k}: {v}", file=sys.stderr)
+        return sps_raw, sps_f, len(lat), wall, stall, curve, nodes, e, ate
 
     t0 = time.time()
     res = one_pass(args.budget * 0.7, "config3w")
@@ -247,7 +282,7 @@ def cmd_config3(args) -> int:
         res2 = one_pass(args.budget - (time.time() - t0), "config3")
         if res2[2] >= 0.9 * res[2]:
             res = res2
-    sps_raw, sps_f, n_scans, wall, stall, curve, nodes = res
+    sps_raw, sps_f, n_scans, wall, stall, curve, nodes, e, ate = res
     # plateau check over the curve tail: node growth across the last
     # quarter of the run must be near zero (VERDICT r2 #2)
     tail = [c for c in curve if c[0] >= curve[-1][0] * 0.75]
@@ -262,6 +297,10 @@ def cmd_config3(args) -> int:
         "wall_s": round(wall, 1), "stalls_excluded_s": round(stall, 1),
         "unit": "scans/s",
         "final_nodes": int(nodes),
+        "survivors_ate_m": None if ate is None else round(ate, 3),
+        "online_err_p50_m": round(float(np.percentile(e, 50)), 3),
+        "online_err_p95_m": round(float(np.percentile(e, 95)), 3),
+        "online_err_max_m": round(float(e.max()), 3),
         "nodes_vs_scans": curve,
         "tail_growth_nodes_per_scan": round(
             tail_growth / max(tail_scans, 1), 4),
