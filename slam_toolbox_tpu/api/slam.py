@@ -123,6 +123,22 @@ class SlamSession:
         self.last_pose = np.zeros(3)
         self.last_covariance = np.eye(3)
 
+        # managed-node lifecycle + bond heartbeat (utils/lifecycle.py;
+        # slam_toolbox_common.cpp:72-96, :99-237). The session is usable
+        # without ever touching these (state machine starts UNCONFIGURED
+        # but process_scan doesn't consult it) — they exist for callers
+        # that want the reference's managed/monitored deployment model.
+        from slam_toolbox_tpu.utils.lifecycle import Lifecycle
+
+        self._bond = None
+        self._watchdog = None
+        self.lifecycle = Lifecycle(hooks={
+            "activate": self._on_activate,
+            "deactivate": self._on_deactivate,
+            "cleanup": self.reset,
+            "shutdown": self._on_shutdown,
+        })
+
     # -- gates (shouldProcessScan, slam_toolbox_common.cpp:740-786) ---------
     def _should_process(self, scan: LocalizedScan) -> bool:
         self.scan_count += 1
@@ -241,6 +257,8 @@ class SlamSession:
                 )
                 if self.mode == "localization":
                     self._pipe.post_finish = self._loc_post_finish
+                if self._watchdog is not None:
+                    self._pipe.watchdog = self._watchdog
             return self._pipe
 
     def _streaming_online_pose(self, scan) -> np.ndarray:
@@ -458,6 +476,89 @@ class SlamSession:
             PausedApplication.VISUALIZING_GRAPH, self.interactive_mode
         )
         return self.interactive_mode
+
+    # -- lifecycle / failure detection (utils/lifecycle.py) -----------------
+    def _on_activate(self) -> None:
+        """on_activate (slam_toolbox_common.cpp:143-172): resume
+        processing + start the bond heartbeat if one was requested."""
+        self.paused_state.set(PausedApplication.NEW_MEASUREMENTS, False)
+        self.paused_state.set(PausedApplication.PROCESSING, False)
+        if self._bond is not None:
+            self._bond.start()
+
+    def _on_deactivate(self) -> None:
+        """on_deactivate (:174-197): pause ingestion + stop heartbeating
+        (the manager sees the bond break and may restart us)."""
+        self.paused_state.set(PausedApplication.NEW_MEASUREMENTS, True)
+        self.paused_state.set(PausedApplication.PROCESSING, True)
+        if self._bond is not None:
+            self._bond.break_bond()
+
+    def _on_shutdown(self) -> None:
+        self.destroy_bond()
+        wd = self._watchdog
+        if wd is not None:
+            wd.stop()
+        if self._pipe is not None:
+            self._settle_pipe()
+
+    def configure(self):
+        return self.lifecycle.configure()
+
+    def activate(self):
+        return self.lifecycle.activate()
+
+    def deactivate(self):
+        return self.lifecycle.deactivate()
+
+    def cleanup(self):
+        return self.lifecycle.cleanup()
+
+    def shutdown(self):
+        return self.lifecycle.shutdown()
+
+    def create_bond(self, path: Optional[str] = None,
+                    period: float = 0.10):
+        """createBond (slam_toolbox_common.cpp:72-86): start a heartbeat
+        an external manager can watch (in-process via the returned Bond,
+        cross-process via `path`). Idempotent."""
+        from slam_toolbox_tpu.utils.lifecycle import Bond
+
+        if self._bond is None:
+            self._bond = Bond("slam_session", period=period, path=path)
+        self._bond.start()
+        return self._bond
+
+    def destroy_bond(self) -> None:
+        """destroyBond (:88-96)."""
+        if self._bond is not None:
+            self._bond.break_bond()
+            self._bond = None
+
+    def enable_watchdog(self, stall_s: float = 30.0, on_stall=None):
+        """Flag remote-device sections (drain fetch etc.) in flight
+        longer than `stall_s` — report-only tunnel-stall detection."""
+        from slam_toolbox_tpu.utils.lifecycle import Watchdog
+
+        if self._watchdog is None:
+            self._watchdog = Watchdog(stall_s=stall_s, on_stall=on_stall)
+            self._watchdog.start()
+            if self._pipe is not None:
+                self._pipe.watchdog = self._watchdog
+        return self._watchdog
+
+    def health(self) -> dict:
+        """One-call liveness summary for supervisors."""
+        h = {
+            "lifecycle": self.lifecycle.state.name,
+            "bond_alive": bool(self._bond is not None and self._bond.alive),
+            "scan_count": self.scan_count,
+        }
+        if self._watchdog is not None:
+            h.update(self._watchdog.health())
+        else:
+            h["status"] = "ok"
+        return h
 
     def reset(self) -> None:
         self._pipe = None

@@ -917,7 +917,15 @@ class StreamingPipeline:
             pd.spec_loop = None
             pd.pred_loop = None
         cap = self.result_cap
-        with stage_timer(self.mapper.stats, "drain_fetch"):
+        # watchdog (utils/lifecycle.Watchdog, set by SlamSession
+        # .enable_watchdog): the drain fetch is the call that wedges when
+        # the tunnel dies — section it so health() can report the stall
+        import contextlib
+
+        wd = getattr(self, "watchdog", None)
+        wd_sec = (wd.section("drain_fetch") if wd is not None
+                  else contextlib.nullcontext())
+        with stage_timer(self.mapper.stats, "drain_fetch"), wd_sec:
             if pd.spec is not None:
                 pd.spec.block_until_ready()
                 comb = np.asarray(pd.spec, np.float64)
