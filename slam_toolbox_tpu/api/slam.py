@@ -496,11 +496,13 @@ class SlamSession:
 
     def _on_shutdown(self) -> None:
         self.destroy_bond()
+        # settle BEFORE stopping the watchdog: the terminal drain/fetch is
+        # exactly the tunnel-wedge-prone path the watchdog exists to flag
+        if self._pipe is not None:
+            self._settle_pipe()
         wd = self._watchdog
         if wd is not None:
             wd.stop()
-        if self._pipe is not None:
-            self._settle_pipe()
 
     def configure(self):
         return self.lifecycle.configure()
@@ -526,6 +528,13 @@ class SlamSession:
 
         if self._bond is None:
             self._bond = Bond("slam_session", period=period, path=path)
+        elif (path, period) != (self._bond.path, self._bond.period):
+            # a supervisor watching the NEW path would see silence forever
+            raise ValueError(
+                "create_bond called again with different parameters "
+                f"(existing path={self._bond.path!r} period="
+                f"{self._bond.period}); destroy_bond() first"
+            )
         self._bond.start()
         return self._bond
 
@@ -545,6 +554,11 @@ class SlamSession:
             self._watchdog.start()
             if self._pipe is not None:
                 self._pipe.watchdog = self._watchdog
+        elif stall_s != self._watchdog.stall_s:
+            raise ValueError(
+                "enable_watchdog called again with a different stall_s "
+                f"(existing {self._watchdog.stall_s})"
+            )
         return self._watchdog
 
     def health(self) -> dict:
@@ -667,6 +681,14 @@ class SlamSession:
             return None
         self._settle_pipe()
         return self.mapper.solver.get_graph()
+
+    def localization_buffer_uids(self) -> set:
+        """Unique ids of the elastic localization-buffer scans — the
+        vertices the assistant renders in a distinct color
+        (loop_closure_assistant.cpp:157-273)."""
+        return {
+            s.unique_id for s in self.mapper.localization_buffer
+        }
 
     def modify_node(self, unique_id: int, pose) -> None:
         self._settle_pipe()

@@ -41,6 +41,9 @@ def graph_to_markers(session, scale: float = 0.1,
     if g is None:  # VISUALIZING_GRAPH paused (interactive mode)
         return []
     nodes, _edges = g
+    # the assistant colors localization-buffer vertices distinctly
+    # (loop_closure_assistant.cpp:157-273) — surface the tag so UIs can
+    loc = session.localization_buffer_uids()
     out = []
     for uid, pose in nodes.items():
         out.append({
@@ -49,6 +52,7 @@ def graph_to_markers(session, scale: float = 0.1,
             "y": float(pose[1]),
             "scale": float(scale),
             "interactive": bool(interactive),
+            "localization": int(uid) in loc,
         })
     return out
 
@@ -73,8 +77,27 @@ def _draw_disk(img, r, c, rad, color):
 
 def _draw_line(img, r0, c0, r1, c1, color):
     """Dense sampled segment (2x oversampling beats Bresenham's gaps for
-    a display overlay; cell-set exactness doesn't matter here)."""
+    a display overlay; cell-set exactness doesn't matter here). Endpoints
+    are clipped to the image rectangle first: a diverged node pose far
+    outside the grid must not size the sample array (a single bad loop
+    closure otherwise allocates O(pixel-distance) points)."""
     h, w, _ = img.shape
+    # Liang-Barsky style param clip of t in [0,1] to the rectangle
+    t_lo, t_hi = 0.0, 1.0
+    for p0, dp, hi in ((r0, r1 - r0, h - 1), (c0, c1 - c0, w - 1)):
+        if dp == 0:
+            if p0 < 0 or p0 > hi:
+                return
+            continue
+        ta, tb = (0 - p0) / dp, (hi - p0) / dp
+        if ta > tb:
+            ta, tb = tb, ta
+        t_lo, t_hi = max(t_lo, ta), min(t_hi, tb)
+    if t_lo > t_hi:
+        return
+    r0c, c0c = r0 + (r1 - r0) * t_lo, c0 + (c1 - c0) * t_lo
+    r1c, c1c = r0 + (r1 - r0) * t_hi, c0 + (c1 - c0) * t_hi
+    r0, c0, r1, c1 = r0c, c0c, r1c, c1c
     n = int(max(abs(r1 - r0), abs(c1 - c0)) * 2) + 2
     t = np.linspace(0.0, 1.0, n)
     pr = np.round(r0 + (r1 - r0) * t).astype(np.int64)

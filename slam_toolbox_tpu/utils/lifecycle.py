@@ -211,9 +211,10 @@ class BondMonitor:
         now = time.monotonic()
         if self._last is None or mark != self._last[0]:
             self._last = (mark, now)
+        # a deleted/never-written liveness file is just a beat that never
+        # refreshes — the stale test covers it
         stale = now - self._last[1] > self.timeout
-        missing = mark is None and self._last[0] is None
-        if stale or (missing and now - self._last[1] > self.timeout):
+        if stale:
             self.broken = True
             cb = self.on_broken
             if cb is not None:

@@ -40,9 +40,12 @@ def test_markers_and_render(tmp_path):
     nodes, edges = sess.get_graph()
     assert len(markers) == len(nodes) > 5
     m = markers[0]
-    assert set(m) == {"id", "x", "y", "scale", "interactive"}
+    assert set(m) == {"id", "x", "y", "scale", "interactive",
+                      "localization"}
     assert m["interactive"] is True
     assert m["scale"] == 0.1  # reference default, toMarker :50
+    # mapping mode: nothing is in the elastic buffer
+    assert not any(mk["localization"] for mk in markers)
 
     out = str(tmp_path / "map.ppm")
     img = render_map(sess, path=out)
@@ -52,9 +55,14 @@ def test_markers_and_render(tmp_path):
     # (green) are guaranteed visible when one fired — require any edge ink
     for col in ([220, 60, 60], [240, 160, 40]):
         assert np.any(np.all(img == np.array(col, np.uint8), axis=-1)), col
+    # edge ink: check a trajectory-free render so sequential (blue) edges
+    # can't be exactly overdrawn by the orange path — the assertion must
+    # not depend on whether a loop closure happened to fire
+    img_e = render_map(sess, with_trajectory=False)
     edge_ink = (
-        np.any(np.all(img == np.array([80, 140, 220], np.uint8), axis=-1))
-        or np.any(np.all(img == np.array([60, 180, 90], np.uint8), axis=-1))
+        np.any(np.all(img_e == np.array([80, 140, 220], np.uint8), axis=-1))
+        or np.any(np.all(img_e == np.array([60, 180, 90], np.uint8),
+                         axis=-1))
     )
     assert edge_ink or len(edges) == 0
     # PPM header + payload size
@@ -71,3 +79,22 @@ def test_markers_and_render(tmp_path):
     # marker export respects the interactive-mode visualization pause
     sess.toggle_interactive_mode()
     assert graph_to_markers(sess) == []
+    sess.toggle_interactive_mode()
+
+    # localization-buffer vertices are tagged distinctly
+    # (loop_closure_assistant.cpp:157-273 coloring)
+    sess.toggle_mode("localization")
+    laser = sess.laser
+    world = SegmentWorld.rooms(16.0, 10.0)
+    sim = LidarSimulator(world, laser, range_noise=0.005,
+                         odom_noise=(0.01, 0.004), seed=8)
+    lap = [(-6.0, -3.5), (-4.0, -3.5), (-2.0, -3.5), (0.0, -3.5)]
+    data = sim.simulate(np.array(lap), step=0.4)
+    for i, (scan, _tp) in enumerate(data):
+        sess.process_scan(scan.ranges, scan.odom_pose, time=1e4 + i * 0.1)
+    sess.flush()
+    assert len(sess.mapper.localization_buffer) > 0
+    markers = graph_to_markers(sess)
+    tagged = {mk["id"] for mk in markers if mk["localization"]}
+    assert tagged == sess.localization_buffer_uids()
+    assert len(tagged) > 0
