@@ -33,7 +33,7 @@ for tag in ("warm", "measure"):
         sess.process_scan(rec.ranges, rec.odom_pose, time=i * 0.1)
         if i % 200 == 0:
             print(f"# {tag} {i} t={time.time()-t0:.1f}s", flush=True)
-    sess.finish()
+    sess.flush()
     if tag == "measure":
         pr.disable()
     wall = time.time() - t0

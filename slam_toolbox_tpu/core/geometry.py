@@ -187,6 +187,11 @@ def rot3_z(theta):
     to rotate edge covariances into the source frame (Mapper.h:183-187).
     """
     theta = np.asarray(theta)
+    if theta.ndim == 0:
+        c, s = math.cos(float(theta)), math.sin(float(theta))
+        return np.array(
+            [[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]]
+        )
     c, s = np.cos(theta), np.sin(theta)
     z = np.zeros_like(c)
     o = np.ones_like(c)

@@ -65,6 +65,12 @@ POOL_SEED_CAP = int(_os.environ.get("SLAM_POOL_SEED_CAP", "8192"))
 # path); the commit validates chain identity + pose stability and
 # redispatches on mismatch. SLAM_SPEC_LOOP=0 disables for A/B.
 SPEC_LOOP = _os.environ.get("SLAM_SPEC_LOOP", "1") != "0"
+# early-verify drain ordering (round 4): finish the newest scan's
+# bookkeeping first and dispatch the deferred loop verify BEFORE the
+# rest of the batch's bookkeeping, hiding the verify's device time
+# behind host work instead of the settle-first critical path.
+# SLAM_EARLY_VERIFY=0 restores the tail-dispatch order for A/B.
+EARLY_VERIFY = _os.environ.get("SLAM_EARLY_VERIFY", "1") != "0"
 
 
 class _PendingDrain:
@@ -110,18 +116,21 @@ def scan_pack(scan) -> np.ndarray:
     cached = getattr(scan, "_stream_arrays", None)
     if cached is not None:
         return cached
-    local = np.nan_to_num(scan.local_points.astype(np.float32), nan=0.0)
     finite = np.isfinite(scan.ranges)
     delim_idx, anchors, next_delim = rz.find_valid_points_structure(
         scan.local_points
     )
     B = len(scan.ranges)
     pack = np.zeros((B, 8), np.float32)
-    pack[:, 0:2] = local
+    # f64->f32 assignment preserves NaN; zero exactly the non-finite
+    # beams (same values as the old nan_to_num copy at half the passes)
+    pack[:, 0:2] = scan.local_points
+    if not finite.all():
+        pack[~finite, 0:2] = 0.0
     D = len(delim_idx)
     if D:
         pack[:D, 2:4] = anchors
-        pack[:D, 4:6] = local[delim_idx]
+        pack[:D, 4:6] = pack[delim_idx, 0:2]
     pack[:, 6] = next_delim.astype(np.float32)
     flags = finite.astype(np.int32)
     if D:
@@ -841,7 +850,17 @@ class StreamingPipeline:
             getattr(self, "_scans_since_loop", 0) + len(pd.scans)
             >= interval
         )
-        if (SPEC_LOOP and will_attempt
+        # mapping mode with early-verify ordering skips the speculative
+        # loop verify entirely: the verify's device execution hides
+        # behind the commit's remaining bookkeeping instead, and the
+        # speculation's ~100 ms rode the batch program's (exposed) fetch
+        # path while missing ~70% on revisit-heavy maps (round-4 A/B:
+        # 236 -> 253 scans/s, scripts/exp_reorder_ab.py). Localization
+        # (post_finish set) keeps it — early-verify is gated off there.
+        spec_loop_on = SPEC_LOOP and not (
+            EARLY_VERIFY and self.post_finish is None
+        )
+        if (spec_loop_on and will_attempt
                 and self.mapper.config.do_loop_closing
                 and any(c is not None for c in pred_chains)):
             pred_loop = self.mapper.graph.predict_loop_chains(
@@ -1171,23 +1190,6 @@ class StreamingPipeline:
                 Matcher.results_from_packed(spec_np)
                 if spec_np is not None and len(spec_np) else []
             )
-            for (scan, pf), (kind, off, cnt) in zip(staged, plan):
-                pose_before = scan.corrected_pose.copy()
-                res_i = None
-                if pf is not None:
-                    if kind == "spec":
-                        res_i = spec_results[off:off + cnt]
-                    elif kind == "miss":
-                        res_i = fetched_miss[off:off + cnt]
-                    else:
-                        res_i = []
-                with stage_timer(stats, "graph_edges"):
-                    graph.add_edges_finish(scan, pf, results=res_i)
-                if np.any(np.abs(scan.corrected_pose - pose_before) > 1e-7):
-                    # near-chain fusion moved this scan
-                    moved_uids.add(scan.unique_id)
-                if self.post_finish is not None:
-                    buffer_changed |= bool(self.post_finish(scan))
             # loop closure once per batch on the newest scan (candidate
             # chains persist across consecutive scans, so closures fire a
             # few scans later at most). Single-sensor case: dispatch the
@@ -1209,45 +1211,94 @@ class StreamingPipeline:
             )
             if attempt_loop:
                 self._scans_since_loop = 0
-            if attempt_loop:
-                last_scan = scans[-1]
-                names = sm.sensor_names()
-                if len(names) == 1:
-                    # speculative verify rows are usable only when the
-                    # center they rode (the newest scan's ring row) is
-                    # BIT-EXACTLY its current f32 sensor pose: a fusion
-                    # move below the f64 bookkeeping threshold can still
-                    # flip an f32 ulp, so compare the f32 values directly
-                    # rather than gating on moved_uids
-                    spec = None
-                    last_row = res_np[(start + n - 1) % cap]
-                    if (spec_loop is not None
-                            and last_row[0] > 0.0
-                            and np.array_equal(
-                                np.asarray(last_scan.sensor_pose,
-                                           np.float32),
-                                last_row[1:4].astype(np.float32))):
-                        pred_loop, rows, snap = spec_loop
-                        spec = (pred_loop, rows, snap)
-                    with stage_timer(stats, "loop_closure"):
-                        handle = graph.try_close_loop_begin(
-                            last_scan, names[0], spec=spec
-                        )
-                    # adaptive hysteresis: candidate chains present ->
-                    # closures likely -> settle-first ordering next drain
-                    self._loop_hot = bool(handle) or not isinstance(
-                        handle, bool
-                    )
-                    if isinstance(handle, bool):
-                        any_closed |= handle
+            names = sm.sensor_names() if attempt_loop else []
+
+            def finish_one(i):
+                scan, pf = staged[i]
+                kind, off, cnt = plan[i]
+                pose_before = scan.corrected_pose.copy()
+                res_i = None
+                if pf is not None:
+                    if kind == "spec":
+                        res_i = spec_results[off:off + cnt]
+                    elif kind == "miss":
+                        res_i = fetched_miss[off:off + cnt]
                     else:
-                        self._deferred_loop = handle
+                        res_i = []
+                with stage_timer(stats, "graph_edges"):
+                    graph.add_edges_finish(scan, pf, results=res_i)
+                if np.any(np.abs(scan.corrected_pose - pose_before) > 1e-7):
+                    # near-chain fusion moved this scan
+                    moved_uids.add(scan.unique_id)
+                if self.post_finish is not None:
+                    return bool(self.post_finish(scan))
+                return False
+
+            def begin_loop():
+                # speculative verify rows are usable only when the
+                # center they rode (the newest scan's ring row) is
+                # BIT-EXACTLY its current f32 sensor pose: a fusion
+                # move below the f64 bookkeeping threshold can still
+                # flip an f32 ulp, so compare the f32 values directly
+                # rather than gating on moved_uids
+                last_scan = scans[-1]
+                spec = None
+                last_row = res_np[(start + n - 1) % cap]
+                if (spec_loop is not None
+                        and last_row[0] > 0.0
+                        and np.array_equal(
+                            np.asarray(last_scan.sensor_pose,
+                                       np.float32),
+                            last_row[1:4].astype(np.float32))):
+                    pred_loop, rows, snap = spec_loop
+                    spec = (pred_loop, rows, snap)
+                with stage_timer(stats, "loop_closure"):
+                    handle = graph.try_close_loop_begin(
+                        last_scan, names[0], spec=spec
+                    )
+                # adaptive hysteresis: candidate chains present ->
+                # closures likely -> settle-first ordering next drain
+                self._loop_hot = bool(handle) or not isinstance(
+                    handle, bool
+                )
+                return handle
+
+            # early-verify ordering (mapping mode): finish the NEWEST
+            # scan first, dispatch the deferred loop verify, then finish
+            # the rest — the verify's device execution (~50-100 ms)
+            # overlaps the remaining host bookkeeping instead of sitting
+            # on the settle-first critical path after it. The sweep sees
+            # batch-mates at their pre-fusion (phase-1) poses, the same
+            # mm-scale boundary approximation the batch path already
+            # documents; gated off in localization/lifelong
+            # (post_finish) where mid-batch buffer eviction could remove
+            # a swept chain member before the deferred phase 2 runs.
+            early_verify = (
+                EARLY_VERIFY and attempt_loop and len(names) == 1
+                and self.post_finish is None and n > 1
+            )
+            handle = None
+            if early_verify:
+                buffer_changed |= finish_one(n - 1)
+                handle = begin_loop()
+                for i in range(n - 1):
+                    buffer_changed |= finish_one(i)
+            else:
+                for i in range(n):
+                    buffer_changed |= finish_one(i)
+                if attempt_loop and len(names) == 1:
+                    handle = begin_loop()
+            if handle is not None:
+                if isinstance(handle, bool):
+                    any_closed |= handle
                 else:
-                    with stage_timer(stats, "loop_closure"):
-                        hot = False
-                        for name in names:
-                            if graph.try_close_loop(last_scan, name):
-                                any_closed = True
-                                hot = True
-                        self._loop_hot = hot
+                    self._deferred_loop = handle
+            elif attempt_loop and len(names) > 1:
+                with stage_timer(stats, "loop_closure"):
+                    hot = False
+                    for name in names:
+                        if graph.try_close_loop(scans[-1], name):
+                            any_closed = True
+                            hot = True
+                    self._loop_hot = hot
         return moved_uids, any_closed, buffer_changed

@@ -84,8 +84,31 @@ def get_lib():
     lib.occupancy_raster.argtypes = [
         ptr, ptr, ptr, ptr, i64, i64, i64, ptr, ptr,
     ]
+    lib.augment_csr.restype = None
+    lib.augment_csr.argtypes = [
+        i64, i64, ptr, ptr, ptr, i64, ptr, ptr, ptr, ptr,
+    ]
     _lib = lib
     return lib
+
+
+def augment_csr(indptr0, indices0, segend0, es, ed):
+    """Base CSR + new edges -> augmented (indptr, indices), bit-exact to
+    the numpy lexsort/insert path in pose_graph._query_structure (which
+    remains the fallback). All inputs int64; indptr0 length n+1."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(indptr0) - 1
+    k = len(es)
+    out_indptr = np.empty(n + 1, np.int64)
+    out_indices = np.empty(len(indices0) + 2 * k, np.int64)
+    lib.augment_csr(
+        n, len(indices0), indptr0.ctypes.data, indices0.ctypes.data,
+        segend0.ctypes.data, k, es.ctypes.data, ed.ctypes.data,
+        out_indptr.ctypes.data, out_indices.ctypes.data,
+    )
+    return out_indptr, out_indices
 
 
 def occupancy_raster(start_cells, end_cells, beam_valid, end_valid,

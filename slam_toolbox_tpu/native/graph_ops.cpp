@@ -642,4 +642,55 @@ void occupancy_raster(
     }
 }
 
+// Augment a base undirected-CSR with k new edges, reproducing
+// pose_graph._query_structure's numpy augmentation layout BIT-EXACTLY
+// (new src-half entries extend each row's src segment at segend0, new
+// dst-half entries append at the row tail; equal insert positions keep
+// (pos, src) lexicographic stable order — the np.lexsort + np.insert
+// semantics). One native call replaces ~15 numpy ops that ran once per
+// drained scan on the host bookkeeping path.
+void augment_csr(
+    int64_t n, int64_t ne0,
+    const int64_t* indptr0,   // (n+1,) base row pointers
+    const int64_t* indices0,  // (ne0,) base adjacency
+    const int64_t* segend0,   // (n,) src-segment end per row
+    int64_t k,
+    const int64_t* es,        // (k,) new edge sources
+    const int64_t* ed,        // (k,) new edge destinations
+    int64_t* out_indptr,      // (n+1,)
+    int64_t* out_indices      // (ne0 + 2k,)
+) {
+    const int64_t m = 2 * k;
+    std::vector<int64_t> bsrc(m), bdst(m), pos(m), ord(m);
+    for (int64_t i = 0; i < k; ++i) {
+        bsrc[i] = es[i]; bdst[i] = ed[i]; pos[i] = segend0[es[i]];
+        bsrc[k + i] = ed[i]; bdst[k + i] = es[i];
+        pos[k + i] = indptr0[ed[i] + 1];
+    }
+    for (int64_t i = 0; i < m; ++i) ord[i] = i;
+    std::stable_sort(ord.begin(), ord.end(),
+                     [&](int64_t a, int64_t b) {
+                         if (pos[a] != pos[b]) return pos[a] < pos[b];
+                         return bsrc[a] < bsrc[b];
+                     });
+    // merged indices: walk the base array, splicing sorted inserts
+    int64_t src_i = 0, ins_i = 0, out_i = 0;
+    while (ins_i < m || src_i < ne0) {
+        if (ins_i < m && pos[ord[ins_i]] <= src_i) {
+            out_indices[out_i++] = bdst[ord[ins_i++]];
+        } else {
+            out_indices[out_i++] = indices0[src_i++];
+        }
+    }
+    // indptr: base + running count of new half-edges per source row
+    std::vector<int64_t> cnt(n + 1, 0);
+    for (int64_t i = 0; i < m; ++i) ++cnt[bsrc[i] + 1];
+    int64_t run = 0;
+    out_indptr[0] = indptr0[0];
+    for (int64_t r = 0; r < n; ++r) {
+        run += cnt[r + 1];
+        out_indptr[r + 1] = indptr0[r + 1] + run;
+    }
+}
+
 }  // extern "C"

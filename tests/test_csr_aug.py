@@ -119,3 +119,33 @@ def test_repeated_augmentation_after_more_edges():
         rp, ri = _csr_of(ref)
         np.testing.assert_array_equal(ap, rp)
         np.testing.assert_array_equal(ai, ri)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_native_augment_matches_numpy(seed, monkeypatch):
+    """native.augment_csr (one C call on the per-scan bookkeeping path)
+    must reproduce the numpy lexsort/insert augmentation bit-exactly."""
+    from slam_toolbox_tpu import native
+
+    if native.get_lib() is None:
+        pytest.skip("no native toolchain")
+    rng = np.random.default_rng(100 + seed)
+    n = int(rng.integers(4, 50))
+    e_total = int(rng.integers(2, 250))
+    e_base = int(rng.integers(0, e_total))
+    src = rng.integers(0, n, e_total)
+    dst = rng.integers(0, n, e_total)
+
+    def run():
+        g = _bare_graph(n, src, dst, e_base)
+        _csr_of(g)
+        g._q_esrc = np.array(src, np.int64)
+        g._q_edst = np.array(dst, np.int64)
+        g._q_ne = e_total
+        return _csr_of(g)
+
+    ap, ai = run()
+    monkeypatch.setattr(native, "get_lib", lambda: None)
+    np_p, np_i = run()
+    np.testing.assert_array_equal(ap, np_p)
+    np.testing.assert_array_equal(ai, np_i)
