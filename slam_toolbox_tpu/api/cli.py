@@ -89,26 +89,56 @@ def cmd_run(args) -> int:
     from slam_toolbox_tpu.core.params import ONLINE_SYNC
     from slam_toolbox_tpu.core.scan import LaserConfig
 
-    z = np.load(args.dataset)
-    laser = LaserConfig(
-        min_range=float(z["min_range"]), max_range=float(z["max_range"]),
-        range_threshold=float(z["range_threshold"]),
-        min_angle=float(z["min_angle"]), max_angle=float(z["max_angle"]),
-        angular_resolution=float(z["angular_resolution"]),
-    )
+    ds = str(args.dataset)
+    gt = None
+    if ds.endswith((".clf", ".clf.gz", ".log", ".log.gz")) or (
+        not ds.endswith((".npz", ".npy"))
+    ):
+        # recorded CARMEN text log (Intel Lab / ACES / MIT-style)
+        from slam_toolbox_tpu.io.carmen import read_carmen
+
+        log = read_carmen(ds)
+        laser = log.laser
+        ranges = np.stack([r.ranges for r in log.records])
+        odom = np.stack([r.odom_pose for r in log.records])
+        times = np.array([r.timestamp for r in log.records])
+        gt = log.ground_truth()
+    else:
+        z = np.load(ds)
+        laser = LaserConfig(
+            min_range=float(z["min_range"]),
+            max_range=float(z["max_range"]),
+            range_threshold=float(z["range_threshold"]),
+            min_angle=float(z["min_angle"]),
+            max_angle=float(z["max_angle"]),
+            angular_resolution=float(z["angular_resolution"]),
+        )
+        ranges, odom = z["ranges"], z["odom"]
+        times = (z["times"] if "times" in z
+                 else np.arange(len(ranges)) * 0.1)
+        gt = z["gt"] if "gt" in z else None
     cfg = ONLINE_SYNC.replace(minimum_time_interval=3600.0)
     sess = SlamSession(cfg, laser, streaming=args.streaming,
                        drain_every=args.drain)
     t0 = time.time()
-    est = []
-    for i in range(len(z["ranges"])):
-        t = float(z["times"][i]) if "times" in z else i * 0.1
-        out = sess.process_scan(z["ranges"][i], z["odom"][i], time=t)
+    est, gts, odos = [], [], []
+    for i in range(len(ranges)):
+        out = sess.process_scan(ranges[i], odom[i], time=float(times[i]))
         if out is not None:
             est.append(out[0])
+            odos.append(odom[i])
+            if gt is not None:
+                gts.append(gt[i])
     dt = time.time() - t0
-    est = np.stack(est) if est else np.zeros((0, 3))
-    _finish(sess, args.out, dt, len(est), est, None, None)
+    if gt is not None and est:
+        # accepted-scan-aligned ATE: corrected trajectory at save time
+        traj = sess.trajectory
+        k = min(len(traj), len(gts))
+        _finish(sess, args.out, dt, len(est), traj[:k],
+                np.stack(gts)[:k], np.stack(odos)[:k])
+    else:
+        est = np.stack(est) if est else np.zeros((0, 3))
+        _finish(sess, args.out, dt, len(est), est, None, None)
     return 0
 
 
