@@ -80,6 +80,12 @@ class MapperConfig:
     # Each attempt costs a candidate sweep + fused verify; localization
     # at small drains re-anchors far more often than drift warrants.
     loop_attempt_interval_scans: int = 0
+    # Marginalize-on-removal (ours; False = reference delete-only
+    # removal, Mapper.cpp:2964-3021): Schur-compose a removed node's
+    # constraints onto its neighbors (graph/marginal.py) so lifelong
+    # decay / buffer eviction bounds the graph without discarding the
+    # information that anchored old geometry.
+    marginalize_on_removal: bool = False
 
     # Sequential correlation grid (Mapper.cpp:2209-2225)
     correlation_search_space_dimension: float = 0.3

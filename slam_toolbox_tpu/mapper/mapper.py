@@ -353,8 +353,25 @@ class Mapper:
             self.sensor_manager.clear_running_scans(name)
             self.sensor_manager.clear_last_scan(name)
 
-    def remove_node_from_graph(self, scan) -> bool:
-        ok = self.graph.remove_vertex(scan)
+    def remove_node_from_graph(self, scan, marginalize=None) -> bool:
+        """RemoveNodeFromGraph (Mapper.cpp:2964-3021). The reference
+        deletes the node's constraints outright; with
+        `marginalize_on_removal` (config, or the explicit argument) the
+        constraints are first Schur-composed onto the node's neighbors
+        (graph/marginal.py) so bounding the graph keeps the information
+        that anchored old geometry."""
+        if marginalize is None:
+            marginalize = getattr(
+                self.config, "marginalize_on_removal", False
+            )
+        if marginalize:
+            from slam_toolbox_tpu.graph.marginal import (
+                marginalize_and_remove,
+            )
+
+            ok = marginalize_and_remove(self.graph, scan)
+        else:
+            ok = self.graph.remove_vertex(scan)
         self.sensor_manager.remove_scan(scan)
         pool = getattr(self, "_pack_pool", None)
         if pool is not None:
