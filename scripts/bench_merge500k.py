@@ -278,5 +278,58 @@ def main():
     print(f"# wrote {out_path}", file=sys.stderr)
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and not os.environ.get("MERGE500K_PROJECT_ONLY"):
     main()
+
+
+def project_chip_solve(n, e, cg_iters, n_devices,
+                       hbm_gbps=818.0, coll_us=20.0, launch_us=150.0):
+    """Project the distributed solve onto real TPU chips (VERDICT r3
+    next #7): the CPU-mesh wall time is contention-bound; the chip
+    projection models the solve as HBM-bandwidth-bound streaming over
+    the edge shards, calibrated by the measured on-chip rate of the
+    Pallas smear kernel (~818 GB/s effective, CLAUDE.md round-2
+    measurement on this chip).
+
+    Per CG iteration (per device, E/n_devices edges + N/n_devices
+    nodes):
+      - block matvec: ~120 B/edge (two 3x3 f32 blocks + index/vector
+        gather-scatter traffic),
+      - two-level Schwarz V-cycle + vector ops: ~200 B/node,
+      - one psum + ring collective latency ~coll_us,
+      - kernel-launch/fusion overhead ~launch_us per iteration.
+    Per LM step: ~3 extra edge passes (residual/Jacobian refresh).
+    """
+    bytes_iter = 120.0 * e / n_devices + 200.0 * n / n_devices
+    t_iter = bytes_iter / (hbm_gbps * 1e9) + (coll_us + launch_us) * 1e-6
+    total_cg = sum(cg_iters)
+    lm_steps = len(cg_iters)
+    t_lm = 3.0 * (120.0 * e / n_devices) / (hbm_gbps * 1e9) + 1e-3
+    return total_cg * t_iter + lm_steps * t_lm
+
+
+if __name__ == "__main__" and os.environ.get("MERGE500K_PROJECT_ONLY"):
+    # patch an existing artifact with the chip projection without
+    # rerunning the 40-minute build
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "MERGE500K.json")
+    with open(path) as f:
+        r = json.load(f)
+    n = r["total_nodes"]
+    e = n - r["sessions"] + (n // 64)  # chains + cross edges (approx)
+    for nd in (8, 16):
+        r[f"projected_chip_solve_s_{nd}dev"] = round(
+            project_chip_solve(n, e, r["solve_cg_iters"], nd), 4
+        )
+    r["projection_model"] = (
+        "HBM-bandwidth-bound: 120 B/edge matvec + 200 B/node "
+        "V-cycle+vectors per CG iteration at 818 GB/s (calibrated by "
+        "the measured Pallas smear kernel rate on this chip), + 20 us "
+        "collective + 150 us launch overhead per iteration and 3 edge "
+        "passes per LM step; cg_iters from the real converged run. "
+        "Compute is not the bound (~100 FLOP/edge)."
+    )
+    with open(path, "w") as f:
+        json.dump(r, f, indent=1)
+    print(json.dumps({k: r[k] for k in r if "projected" in k}))
+    sys.exit(0)

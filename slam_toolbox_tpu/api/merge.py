@@ -125,8 +125,15 @@ class MapMerger:
         self, resolution: float = 0.05,
         min_pass_through: int = 2, occupancy_threshold: float = 0.1,
     ):
-        """mergeMapCallback (:251-291): one global occupancy raster."""
+        """mergeMapCallback (:251-291): one global occupancy raster;
+        multi-device meshes render it as row-band shards with halo
+        exchange (dist/submap.py, bit-exact — the 500k-node merge's
+        50005x908 grid is the motivating case)."""
+        from slam_toolbox_tpu.dist.submap import (
+            maybe_sharded_create_from_scans,
+        )
+
         scans = self.merged_scans()
-        return occupancy.create_from_scans(
+        return maybe_sharded_create_from_scans(
             scans, resolution, min_pass_through, occupancy_threshold
         )

@@ -355,7 +355,14 @@ class SlamSession:
                     last_uid=scans[-1].unique_id,
                 )
                 return grid
-        grid = occupancy.create_from_scans(
+        # full rebuild: multi-device meshes render big maps as row-band
+        # shards with halo exchange (dist/submap.py; bit-exact vs the
+        # single-device raster, auto-gated on topology + grid size)
+        from slam_toolbox_tpu.dist.submap import (
+            maybe_sharded_create_from_scans,
+        )
+
+        grid = maybe_sharded_create_from_scans(
             scans, res,
             self.config.min_pass_through,
             self.config.occupancy_threshold,

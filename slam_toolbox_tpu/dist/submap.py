@@ -245,6 +245,43 @@ def sharded_occupancy(
     return grid
 
 
+def maybe_sharded_create_from_scans(
+    scans: List, resolution: float,
+    min_pass_through: int = 2, occupancy_threshold: float = 0.1,
+):
+    """Live-path entry (round-4 wiring): route big occupancy renders
+    through the row-band sharded raster whenever more than one device is
+    attached, falling back to the single-device
+    kernels.occupancy.create_from_scans otherwise. Bit-exact either way
+    (integer accumulation; tests/test_submap.py), so callers
+    (SlamSession.get_occupancy_grid full rebuilds, MapMerger.merge) can
+    switch on topology alone. SLAM_SHARDED_RASTER=1 forces the sharded
+    path, =0 disables it; default 'auto' requires a multi-device mesh
+    AND a grid big enough (> ~8M cells) that the per-geometry shard_map
+    compile amortizes."""
+    import os
+
+    mode = os.environ.get("SLAM_SHARDED_RASTER", "auto")
+    n_dev = jax.device_count()
+    use = False
+    if mode == "1":
+        use = n_dev > 1
+    elif mode != "0" and n_dev > 1:
+        live = [s for s in scans if s is not None]
+        if live:
+            w, h, _ = occ.compute_dimensions(live, resolution)
+            use = w * h > 8_000_000
+    if use:
+        mesh = Mesh(np.array(jax.devices()), (AXIS,))
+        return sharded_occupancy(
+            mesh, scans, resolution, min_pass_through,
+            occupancy_threshold,
+        )
+    return occ.create_from_scans(
+        scans, resolution, min_pass_through, occupancy_threshold
+    )
+
+
 def make_halo_refresh(mesh: Mesh, band: int, halo: int, width: int):
     """After the owner accumulation each device holds COMPLETE counts
     for its own band only. This second ppermute round hands every device

@@ -111,3 +111,33 @@ def test_halo_refresh_gives_local_matcher_windows(posed_scans, mesh8):
             win_pass, ref_padded[lo:hi],
             err_msg=f"band {d} window [{lo}:{hi}]",
         )
+
+
+def test_wired_live_path_bit_exact(posed_scans, monkeypatch):
+    """Round-4 wiring: the live entry (SlamSession.get_occupancy_grid /
+    MapMerger.merge route through maybe_sharded_create_from_scans) must
+    produce the single-device raster bit-exactly when forced onto the
+    mesh."""
+    res = 0.1
+    monkeypatch.setenv("SLAM_SHARDED_RASTER", "1")
+    sharded = submap.maybe_sharded_create_from_scans(posed_scans, res)
+    monkeypatch.setenv("SLAM_SHARDED_RASTER", "0")
+    single = submap.maybe_sharded_create_from_scans(posed_scans, res)
+    np.testing.assert_array_equal(sharded.cells, single.cells)
+    np.testing.assert_allclose(sharded.offset, single.offset)
+
+
+def test_wired_auto_gate_small_grid(posed_scans, monkeypatch):
+    """auto mode keeps small grids on the single-device path (the
+    per-geometry shard_map compile only amortizes on big maps)."""
+    monkeypatch.setenv("SLAM_SHARDED_RASTER", "auto")
+    called = {}
+    orig = submap.sharded_occupancy
+
+    def spy(*a, **k):
+        called["yes"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(submap, "sharded_occupancy", spy)
+    submap.maybe_sharded_create_from_scans(posed_scans, 0.1)
+    assert "yes" not in called  # ~200x160 cells: far below the gate
