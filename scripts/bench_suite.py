@@ -210,9 +210,13 @@ def cmd_config3(args) -> int:
         # chain minimum 5 (localization preset uses 3): decay replaces
         # old laps, so surviving state-id runs are shorter than a fresh
         # map's — the default 10 starves the loop sweep of candidates
-        sess = SlamSession(_cfg(loop_match_minimum_chain_size=5),
-                           laser, streaming=True,
-                           drain_every=args.drain)
+        sess = SlamSession(
+            _cfg(loop_match_minimum_chain_size=5,
+                 # A/B knob: compose removed nodes' constraints onto
+                 # their neighbors instead of deleting (graph/marginal)
+                 marginalize_on_removal=(
+                     os.environ.get("SLAM_MARGINALIZE") == "1")),
+            laser, streaming=True, drain_every=args.drain)
         if os.environ.get("BENCH_STATS") == "1":
             sess.stats.enabled = True
         from slam_toolbox_tpu.mapper.lifelong import LifelongConfig
