@@ -227,11 +227,13 @@ def child_main():
     # takes ~2 s)
     budget = float(os.environ.get("BENCH_BUDGET_S", "1500"))
     deadline = time.time() + budget
-    # drain cadence (two-pass wall-clock): 168 scans/s @96, 187 @192 with
-    # ATE 0.018 m (loop closures still fire every batch; larger batches
-    # trade correction latency for throughput; partial flushes cost only
-    # their own iterations — dynamic fori trip)
-    drain = int(os.environ.get("BENCH_DRAIN", "192"))
+    # drain cadence (two-pass wall-clock): larger batches amortize the
+    # per-drain fixed costs (loop verify, solve, refresh) but delay
+    # corrections. Round-4 A/B with the early-verify ordering
+    # (scripts/exp_drain_size.py): 262.6 @192 (ATE 0.0267), 272.9 @256
+    # (0.0247), 278.4 @320 (0.0307 — past the <=0.03 target), 262.4
+    # @384. Default 256.
+    drain = int(os.environ.get("BENCH_DRAIN", "256"))
 
     cfg, laser, data = make_workload()
 

@@ -66,8 +66,19 @@ def test_deferred_fused_matches_blocking(loop_dataset, monkeypatch):
     the same streaming pipeline: identical f32 compute, only the fetch
     timing differs, so final poses must agree to fp noise. A classic-path
     run bounds the result at the documented streaming tolerance and
-    proves a closure actually fired."""
+    proves a closure actually fired.
+
+    Bit-equivalence is pinned under SLAM_EARLY_VERIFY=0 (the round-3
+    tail-dispatch order): the round-4 early-verify ordering dispatches
+    the verify BEFORE the remaining scans' bookkeeping, so a blocking
+    begin applies its correction mid-batch while the deferred one
+    applies at settle — an intentional, documented ordering change
+    (PARITY.md §Known). The new default order is covered against the
+    classic path below (test_early_verify_matches_classic)."""
+    from slam_toolbox_tpu.mapper import streaming
+
     monkeypatch.setenv("SLAM_FUSED_LOOP", "1")
+    monkeypatch.setattr(streaming, "EARLY_VERIFY", False)
     laser, cfg, data = loop_dataset
 
     m_def, s_def = _run_streaming(laser, cfg, data, drain_every=16)
@@ -107,6 +118,28 @@ def test_deferred_fused_matches_blocking(loop_dataset, monkeypatch):
     m_classic, s_classic = _run_classic(laser, cfg, data)
     assert len(s_classic) == len(s_def)
     for a, b in zip(s_def, s_classic):
+        assert np.hypot(*(a.corrected_pose[:2] - b.corrected_pose[:2])) \
+            < 0.05, (a.corrected_pose, b.corrected_pose)
+
+
+def test_early_verify_matches_classic(loop_dataset, monkeypatch):
+    """The round-4 early-verify ordering (default) must stay within the
+    documented streaming tolerance of the classic per-scan path, with a
+    real closure fired."""
+    from slam_toolbox_tpu.mapper import streaming
+
+    monkeypatch.setenv("SLAM_FUSED_LOOP", "1")
+    assert streaming.EARLY_VERIFY  # the default under test
+    laser, cfg, data = loop_dataset
+    m_ev, s_ev = _run_streaming(laser, cfg, data, drain_every=16)
+    closures = sum(
+        1 for e in m_ev.graph.edges
+        if abs(e.source.unique_id - e.target.unique_id) > 8
+    )
+    assert closures >= 1, "no loop closure fired — tune the dataset"
+    m_classic, s_classic = _run_classic(laser, cfg, data)
+    assert len(s_classic) == len(s_ev)
+    for a, b in zip(s_ev, s_classic):
         assert np.hypot(*(a.corrected_pose[:2] - b.corrected_pose[:2])) \
             < 0.05, (a.corrected_pose, b.corrected_pose)
 
