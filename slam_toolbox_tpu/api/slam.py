@@ -404,6 +404,12 @@ class SlamSession:
         if scans:
             self.laser = scans[0].laser
         self.mapper.solver.compute()
+        # prebuild the incremental query structure here (one-time load
+        # cost) rather than on the first relocalization query — at a
+        # 100k-node prior the rebuild + xy refresh dominated the
+        # user-visible "where am I" latency (VERDICT r3 #5)
+        if self.mapper.graph is not None:
+            self.mapper.graph._query_structure()
         if match_type == MatchType.START_AT_FIRST_NODE:
             self.processor_type = ProcessType.PROCESS_FIRST_NODE
         elif match_type == MatchType.START_AT_GIVEN_POSE:

@@ -11,6 +11,10 @@ from slam_toolbox_tpu.io.dataset import LidarSimulator, SegmentWorld
 from slam_toolbox_tpu.mapper import Mapper
 from slam_toolbox_tpu.mapper.streaming import StreamingPipeline
 
+# heavyweight end-to-end module: excluded from the fast subset
+# (python -m pytest -m 'not slow'); CI runs everything
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def loop_dataset():

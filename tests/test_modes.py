@@ -12,6 +12,10 @@ from slam_toolbox_tpu.mapper.lifelong import (
 )
 from test_pipeline import sim_config
 
+# heavyweight end-to-end module: excluded from the fast subset
+# (python -m pytest -m 'not slow'); CI runs everything
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def mapped_session(tmp_path_factory):

@@ -10,6 +10,10 @@ from slam_toolbox_tpu.io.dataset import (
     LidarSimulator, SegmentWorld, ate_rmse,
 )
 
+# heavyweight end-to-end module: excluded from the fast subset
+# (python -m pytest -m 'not slow'); CI runs everything
+pytestmark = pytest.mark.slow
+
 
 def sim_config():
     laser = LaserConfig(

@@ -43,6 +43,12 @@ def test_roundtrip_preserves_graph(short_run):
             np.nan_to_num(a.ranges), np.nan_to_num(b.ranges), atol=3e-5
         )
         assert a.unique_id == b.unique_id and a.state_id == b.state_id
+        # the barycenter cache persists (relocalization first-touch at
+        # big priors otherwise recomputes it for every scan)
+        assert b._local_bary is not None
+        np.testing.assert_allclose(
+            a.barycenter, b.barycenter, atol=5e-5
+        )
 
 
 def test_continue_mapping_from_snapshot(short_run):

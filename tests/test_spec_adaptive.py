@@ -17,6 +17,10 @@ from slam_toolbox_tpu.mapper import Mapper
 from slam_toolbox_tpu.mapper import streaming as streaming_mod
 from slam_toolbox_tpu.mapper.streaming import StreamingPipeline
 
+# heavyweight end-to-end module: excluded from the fast subset
+# (python -m pytest -m 'not slow'); CI runs everything
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def loop_dataset():
@@ -47,17 +51,29 @@ def loop_dataset():
 
 
 def _run_streaming(laser, cfg, data, drain_every=16):
-    mapper = Mapper(cfg)
-    mapper.stats.enabled = True
-    pipe = StreamingPipeline(mapper, laser, drain_every=drain_every)
-    accepted = []
-    for i, (scan, tp) in enumerate(data):
-        s = LocalizedScan(laser, scan.ranges, scan.odom_pose, time=i * 0.1)
-        if pipe.process_scan(s):
-            accepted.append(s)
-    pipe.drain()
-    pipe.settle()
-    return mapper, accepted, pipe
+    # all runs here use the round-3 tail-dispatch ordering: round 4's
+    # early-verify ordering disables the mapping-mode speculative loop
+    # verify entirely (its device time hides behind bookkeeping
+    # instead), so the spec machinery under test — still the live path
+    # for localization — only engages with EARLY_VERIFY off, and
+    # bit-identical comparisons must share one ordering
+    old_ev = streaming_mod.EARLY_VERIFY
+    streaming_mod.EARLY_VERIFY = False
+    try:
+        mapper = Mapper(cfg)
+        mapper.stats.enabled = True
+        pipe = StreamingPipeline(mapper, laser, drain_every=drain_every)
+        accepted = []
+        for i, (scan, tp) in enumerate(data):
+            s = LocalizedScan(laser, scan.ranges, scan.odom_pose,
+                              time=i * 0.1)
+            if pipe.process_scan(s):
+                accepted.append(s)
+        pipe.drain()
+        pipe.settle()
+        return mapper, accepted, pipe
+    finally:
+        streaming_mod.EARLY_VERIFY = old_ev
 
 
 def _assert_identical(run_a, run_b, what):

@@ -8,6 +8,10 @@ from slam_toolbox_tpu.mapper import Mapper
 from slam_toolbox_tpu.mapper.streaming import StreamingPipeline
 from test_pipeline import sim_config
 
+# heavyweight end-to-end module: excluded from the fast subset
+# (python -m pytest -m 'not slow'); CI runs everything
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def dataset():

@@ -10,6 +10,11 @@ from slam_toolbox_tpu.api.viz import graph_to_markers, render_map
 from slam_toolbox_tpu.core.params import MapperConfig
 from slam_toolbox_tpu.core.scan import LaserConfig
 from slam_toolbox_tpu.io.dataset import LidarSimulator, SegmentWorld
+import pytest
+
+# heavyweight end-to-end module: excluded from the fast subset
+# (python -m pytest -m 'not slow'); CI runs everything
+pytestmark = pytest.mark.slow
 
 
 def _small_session():
