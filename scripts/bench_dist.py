@@ -145,6 +145,10 @@ def main():
     ap.add_argument("--dtype", choices=["f32", "f64"], default="f32",
                     help="f64 runs every reduction/recurrence in double "
                          "precision for sub-mm host parity (CPU mesh)")
+    ap.add_argument("--block", type=int, default=512,
+                    help="level-1 Schwarz block size (nodes)")
+    ap.add_argument("--cblock", type=int, default=None,
+                    help="coarse aggregate size (smaller = richer coarse space)")
     ap.add_argument("--out", default="DIST_SCALING.json")
     args = ap.parse_args()
     dtype = np.float64 if args.dtype == "f64" else np.float32
@@ -205,13 +209,15 @@ def main():
             results["chi2_f32_host"] = round(chi2_host_f32, 4)
         # warm (compile)
         out, chi2 = distributed_lm_solve(
-            mesh, *packed, cg_iters=args.cg_iters, dtype=dtype
+            mesh, *packed, cg_iters=args.cg_iters, dtype=dtype,
+            cblock=args.cblock, block=args.block,
         )
         times = []
         for _ in range(args.reps):
             t0 = time.perf_counter()
             out, chi2 = distributed_lm_solve(
-                mesh, *packed, cg_iters=args.cg_iters, dtype=dtype
+                mesh, *packed, cg_iters=args.cg_iters, dtype=dtype,
+                cblock=args.cblock, block=args.block,
             )
             times.append(time.perf_counter() - t0)
         t = min(times)
@@ -255,6 +261,8 @@ def main():
         "graph size), so per-chip work genuinely divides by N."
     )
     results["dtype"] = args.dtype
+    results["cblock"] = args.cblock
+    results["block"] = args.block
     out_path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), args.out)
     with open(out_path, "w") as f:

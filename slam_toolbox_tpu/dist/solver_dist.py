@@ -28,7 +28,7 @@ AXIS = "graph"
 
 def make_distributed_gn_step(
     mesh: Mesh, n_nodes: int, cg_iters: int = 50, schwarz: bool = True,
-    block: int = 512, cblock: int = 64,
+    block: int = 512, cblock: int = 64, cg_rtol: float = None,
 ):
     """Returns a jitted, shard_mapped function computing one damped GN step.
 
@@ -298,7 +298,11 @@ def make_distributed_gn_step(
         # relative termination, dtype-aware: r stops being resolvable in
         # f32 around 1e-5 * ||b|| (1e-11 in f64); iterating past that
         # wastes collectives
-        rtol = 1e-11 if poses.dtype == jnp.float64 else 1e-5
+        # default: r stops being resolvable in f32 around 1e-5*||b||
+        # (1e-11 in f64); iterating past that wastes collectives
+        rtol = cg_rtol if cg_rtol is not None else (
+            1e-11 if poses.dtype == jnp.float64 else 1e-5
+        )
         rr_stop = jnp.asarray(rtol * rtol, poses.dtype) * jnp.sum(b * b)
 
         def body(state):
@@ -381,6 +385,8 @@ def distributed_lm_solve(
     function_tolerance: float = 1e-3,
     cg_iters: int = 200,
     block: int = 512,
+    cblock: int = None,
+    cg_rtol: float = None,
     dtype=np.float32,
 ):
     """Host LM loop over the distributed GN step. Edge arrays must be
@@ -396,14 +402,24 @@ def distributed_lm_solve(
     parity with the host solver (use on CPU meshes; real-TPU f64 is
     emulated and slow)."""
     n_dev = mesh.devices.size
+    if cblock is None:
+        # f64 runs CG to rtol 1e-11 (sub-mm host parity): the extra
+        # decades of convergence need a RICHER coarse space to stay
+        # <=30 iterations flat — 16-node aggregates measured
+        # [22..30] vs [28..43] with the f32 default 64 at 12k nodes
+        # (round-4 probes; f32's resolvability floor ~1e-5 never
+        # exercises those decades, so 64 stays optimal there)
+        cblock = 16 if np.dtype(dtype) == np.float64 else 64
     e = len(src)
     assert e % n_dev == 0, "pad edges to a multiple of the mesh size"
     n_pad = len(poses)
     assert n_pad % n_dev == 0, "pad nodes to a multiple of the mesh size"
     nb = n_pad // n_dev
     block_g = min(block, nb)
+
     step = make_distributed_gn_step(
-        mesh, n_pad, cg_iters=cg_iters, block=block_g
+        mesh, n_pad, cg_iters=cg_iters, block=block_g, cblock=cblock,
+        cg_rtol=cg_rtol,
     )
 
     # partition edges by owning node slice so each device's shard holds

@@ -266,7 +266,14 @@ def maybe_sharded_create_from_scans(
     use = False
     if mode == "1":
         use = n_dev > 1
-    elif mode != "0" and n_dev > 1:
+    elif mode != "0" and n_dev > 1 and (
+        jax.devices()[0].platform != "cpu"
+    ):
+        # auto only on REAL accelerator meshes: a virtual CPU mesh is
+        # one host — shard_map adds collectives without adding memory
+        # bandwidth, and the single-host native Bresenham accumulator
+        # (graph_ops.cpp, the documented choice for the 500k merge —
+        # XLA scatter serializes at ~8M updates/s) stays faster
         live = [s for s in scans if s is not None]
         if live:
             w, h, _ = occ.compute_dimensions(live, resolution)
