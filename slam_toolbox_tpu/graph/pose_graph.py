@@ -1112,14 +1112,24 @@ class PoseGraph:
                     else:
                         self.mapper.stats.count("spec_loop_disjoint")
         with stage_timer(self.mapper.stats, "loop_verify_dispatch"):
-            dev_rows = lv.dispatch_loop_verify(
-                lm, sm_seq, scan, chains, self.mapper.config,
-                pool=getattr(self.mapper, "_pack_pool", None),
-            )
-        if hasattr(dev_rows, "copy_to_host_async"):
-            # transfer starts when the verify finishes, not at the
-            # deferred finish's np.asarray round trip
-            dev_rows.copy_to_host_async()
+            if len(chains) > 8:
+                # chunked: the finish fetches 8-chain programs in order
+                # and stops at the first acceptance — the discarded
+                # post-acceptance rows of a single big program are most
+                # of its execution on revisit-heavy maps
+                dev_rows = lv.dispatch_loop_verify_chunked(
+                    lm, sm_seq, scan, chains, self.mapper.config,
+                    pool=getattr(self.mapper, "_pack_pool", None),
+                )
+            else:
+                dev_rows = lv.dispatch_loop_verify(
+                    lm, sm_seq, scan, chains, self.mapper.config,
+                    pool=getattr(self.mapper, "_pack_pool", None),
+                )
+                if hasattr(dev_rows, "copy_to_host_async"):
+                    # transfer starts when the verify finishes, not at
+                    # the deferred finish's np.asarray round trip
+                    dev_rows.copy_to_host_async()
         return (scan, sensor_name, chains, dev_rows, start_id)
 
     def try_close_loop_finish(self, handle) -> bool:
@@ -1322,11 +1332,20 @@ class PoseGraph:
         from slam_toolbox_tpu.utils.metrics import stage_timer
 
         with stage_timer(self.mapper.stats, "loop_verify"):
-            dev_rows = lv.dispatch_loop_verify(
-                self.mapper.loop_matcher, self.mapper.sequential_matcher,
-                scan, chains, cfg,
-                pool=getattr(self.mapper, "_pack_pool", None),
-            )
+            if len(chains) > 8:
+                dev_rows = lv.dispatch_loop_verify_chunked(
+                    self.mapper.loop_matcher,
+                    self.mapper.sequential_matcher,
+                    scan, chains, cfg,
+                    pool=getattr(self.mapper, "_pack_pool", None),
+                )
+            else:
+                dev_rows = lv.dispatch_loop_verify(
+                    self.mapper.loop_matcher,
+                    self.mapper.sequential_matcher,
+                    scan, chains, cfg,
+                    pool=getattr(self.mapper, "_pack_pool", None),
+                )
         return self._fused_finish(scan, chains, dev_rows, cfg)
 
     def _fused_finish(self, scan, chains, dev_rows, cfg) -> bool:
@@ -1337,6 +1356,25 @@ class PoseGraph:
         from slam_toolbox_tpu.utils.metrics import stage_timer
 
         seq = self.mapper.sequential_matcher
+        if isinstance(dev_rows, list):
+            # chunked dispatch (kernels/loop_verify
+            # .dispatch_loop_verify_chunked): fetch chunks in order and
+            # stop at the first acceptance — the reference discards
+            # post-acceptance candidates and re-sweeps, so later chunks'
+            # rows are never needed once a closure fires
+            done = 0
+            for rows_dev, sl in dev_rows:
+                with stage_timer(self.mapper.stats, "loop_verify_wait"):
+                    rows_dev.block_until_ready()
+                    rows = np.asarray(rows_dev, np.float64)
+                if self._gate_and_close(scan, sl, rows, cfg, seq):
+                    self.mapper.stats.count(
+                        "loop_chunks_skipped",
+                        len(dev_rows) - done - 1,
+                    )
+                    return True
+                done += 1
+            return False
         with stage_timer(self.mapper.stats, "loop_verify_wait"):
             if isinstance(dev_rows, tuple):
                 # composite from per-chain spec reuse: (spec_rows,
@@ -1358,6 +1396,14 @@ class PoseGraph:
             else:
                 dev_rows.block_until_ready()
                 rows = np.asarray(dev_rows, np.float64)
+        return self._gate_and_close(scan, chains, rows, cfg, seq)
+
+    def _gate_and_close(self, scan, chains, rows, cfg, seq) -> bool:
+        """Apply the coarse/fine gates to fetched verify rows in chain
+        order; link + optimize at the first acceptance (the tail of
+        _fused_finish, shared with the chunked fetch path)."""
+        from slam_toolbox_tpu.core.scan import LocalizedScan
+        from slam_toolbox_tpu.kernels.match import Matcher
         from slam_toolbox_tpu.core.geometry import KT_TOLERANCE
 
         for chain, row in zip(chains, rows):

@@ -563,6 +563,33 @@ def chain_count_bucket(n: int) -> int:
     return ((n + 31) // 32) * 32
 
 
+def dispatch_loop_verify_chunked(loop_matcher, seq_matcher, scan, chains,
+                                 cfg, pool=None, chunk: int = 8):
+    """Dispatch the fused verify as a SEQUENCE of <=chunk-chain programs
+    instead of one big one. The reference's TryCloseLoop stops at the
+    first accepted chain and re-sweeps with corrected poses
+    (Mapper.cpp:1500-1561) — so on revisit-heavy maps most of a big
+    program's rows are discarded whenever a closure fires. Chunks
+    execute back-to-back on device (async dispatch); the finish fetches
+    them IN ORDER and stops at the first acceptance, skipping the
+    remaining chunks' fetches entirely. Gate values and acceptance
+    order are identical to the single-program path (each chain's row
+    depends only on its own membership + the query center).
+
+    Returns [(dev_rows, chains_slice), ...].
+    """
+    out = []
+    for lo in range(0, len(chains), chunk):
+        sl = chains[lo:lo + chunk]
+        rows = dispatch_loop_verify(
+            loop_matcher, seq_matcher, scan, sl, cfg, pool=pool
+        )
+        if hasattr(rows, "copy_to_host_async"):
+            rows.copy_to_host_async()
+        out.append((rows, sl))
+    return out
+
+
 def dispatch_loop_verify(loop_matcher, seq_matcher, scan, chains, cfg,
                          pool=None):
     """Dispatch ONE fused verify program covering every candidate chain
