@@ -7,10 +7,11 @@ points are scattered at once and the Gaussian max-blend is computed as a
 separable max-times dilation (exp(-(dx^2+dy^2)/2s^2) = f(dx)*f(dy) with
 f >= 0, so max over the window factors into two 1-D passes).
 
-Deviation from the reference (documented): grid values are continuous in
-[0, 1] rather than the reference's int8 quantization round(z*100)
-(Mapper.h:1258-1260); responses differ by < 0.5% and tests' oracle uses the
-same continuous convention.
+Quantization parity: the smear output is quantized to int8 round(z*100)
+exactly like the reference (Mapper.h:1258-1260) before scoring — see
+match._quantize_pad and match_pallas.smear_quantize_parity (bit-identical
+paths; PARITY.md row 7). The continuous [0,1] values below are an
+intermediate only.
 """
 from __future__ import annotations
 

@@ -116,26 +116,31 @@ def scan_pack(scan) -> np.ndarray:
     cached = getattr(scan, "_stream_arrays", None)
     if cached is not None:
         return cached
-    finite = np.isfinite(scan.ranges)
-    delim_idx, anchors, next_delim = rz.find_valid_points_structure(
-        scan.local_points
-    )
-    B = len(scan.ranges)
-    pack = np.zeros((B, 8), np.float32)
-    # f64->f32 assignment preserves NaN; zero exactly the non-finite
-    # beams (same values as the old nan_to_num copy at half the passes)
-    pack[:, 0:2] = scan.local_points
-    if not finite.all():
-        pack[~finite, 0:2] = 0.0
-    D = len(delim_idx)
-    if D:
-        pack[:D, 2:4] = anchors
-        pack[:D, 4:6] = pack[delim_idx, 0:2]
-    pack[:, 6] = next_delim.astype(np.float32)
-    flags = finite.astype(np.int32)
-    if D:
-        flags[:D] |= 2
-    pack[:, 7] = flags.astype(np.float32)
+    from slam_toolbox_tpu import native
+
+    pack = native.scan_pack(scan.local_points, scan.ranges)
+    if pack is None:
+        finite = np.isfinite(scan.ranges)
+        delim_idx, anchors, next_delim = rz.find_valid_points_structure(
+            scan.local_points
+        )
+        B = len(scan.ranges)
+        pack = np.zeros((B, 8), np.float32)
+        # f64->f32 assignment preserves NaN; zero exactly the non-finite
+        # beams (same values as the old nan_to_num copy at half the
+        # passes)
+        pack[:, 0:2] = scan.local_points
+        if not finite.all():
+            pack[~finite, 0:2] = 0.0
+        D = len(delim_idx)
+        if D:
+            pack[:D, 2:4] = anchors
+            pack[:D, 4:6] = pack[delim_idx, 0:2]
+        pack[:, 6] = next_delim.astype(np.float32)
+        flags = finite.astype(np.int32)
+        if D:
+            flags[:D] |= 2
+        pack[:, 7] = flags.astype(np.float32)
     try:
         scan._stream_arrays = pack
     except AttributeError:

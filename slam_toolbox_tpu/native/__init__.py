@@ -70,6 +70,8 @@ def get_lib():
     lib.radius_query.argtypes = [i64, ptr, f64, f64, f64, ptr]
     lib.fvp_structure.restype = i64
     lib.fvp_structure.argtypes = [i64, ptr, ptr, ptr, ptr]
+    lib.scan_pack.restype = None
+    lib.scan_pack.argtypes = [i64, ptr, ptr, ptr]
     lib.sparse_block_solve.restype = i64
     lib.sparse_block_solve.argtypes = [
         i64, i64, ptr, ptr, ptr, ptr, ptr, ptr,
@@ -202,6 +204,22 @@ def sparse_block_solve(src, dst, diag, off, b):
     if nnz < 0:
         return None
     return x
+
+
+def scan_pack(local_points, ranges):
+    """One-call (B, 8) f32 streaming pack (mapper/streaming.scan_pack
+    layout), bit-identical to the numpy assembly; None if no lib."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    pts = np.ascontiguousarray(local_points, np.float64)
+    rng = np.ascontiguousarray(ranges, np.float64)
+    n = len(pts)
+    pack = np.empty((n, 8), np.float32)
+    lib.scan_pack(
+        n, pts.ctypes.data, rng.ctypes.data, pack.ctypes.data,
+    )
+    return pack
 
 
 def fvp_structure(points):

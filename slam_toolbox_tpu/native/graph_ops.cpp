@@ -231,6 +231,53 @@ int64_t fvp_structure(
     return d;
 }
 
+// One-call build of the streaming (B, 8) f32 scan pack
+// (mapper/streaming.scan_pack): [local_xy, fvp_anchor_xy,
+// fvp_current_xy, next_delim, flags(bit0 finite, bit1 delim-valid)].
+// Replaces ~10 per-scan numpy ops (~0.14 ms/scan of host time in the
+// drain accumulation window — VERDICT r4 next #1b). Bit-identical to
+// the numpy path: same fvp_structure walk, same f64->f32 casts.
+void scan_pack(
+    int64_t n,
+    const double* local_xy,    // (n, 2) sensor-frame beam endpoints
+    const double* ranges,      // (n,)
+    float* pack                // (n, 8) output
+) {
+    std::vector<int64_t> delim_idx(static_cast<size_t>(n));
+    std::vector<double> anchors(static_cast<size_t>(2 * n));
+    std::vector<int64_t> next_delim(static_cast<size_t>(n));
+    const int64_t d = fvp_structure(
+        n, local_xy, delim_idx.data(), anchors.data(), next_delim.data());
+    for (int64_t i = 0; i < n; ++i) {
+        const double r = ranges[i];
+        const bool finite = r == r && r - r == 0.0;
+        float* row = pack + 8 * i;
+        row[0] = finite ? static_cast<float>(local_xy[2 * i]) : 0.0f;
+        row[1] = finite ? static_cast<float>(local_xy[2 * i + 1]) : 0.0f;
+        row[2] = 0.0f;
+        row[3] = 0.0f;
+        row[4] = 0.0f;
+        row[5] = 0.0f;
+        row[6] = static_cast<float>(next_delim[i]);
+        row[7] = static_cast<float>((finite ? 1 : 0) | (i < d ? 2 : 0));
+    }
+    for (int64_t k = 0; k < d; ++k) {
+        float* row = pack + 8 * k;
+        row[2] = static_cast<float>(anchors[2 * k]);
+        row[3] = static_cast<float>(anchors[2 * k + 1]);
+        // current_xy = the f32-cast, ZEROED-if-nonfinite local point at
+        // the delimiter index (an infinite point can be a delimiter:
+        // the fvp walk's finite check only guards the initial anchor,
+        // and inf distances trivially pass the >0.1 m test — the numpy
+        // path reads from the already-zeroed pack columns)
+        const int64_t di = delim_idx[k];
+        const double rr = ranges[di];
+        const bool fin = rr == rr && rr - rr == 0.0;
+        row[4] = fin ? static_cast<float>(local_xy[2 * di]) : 0.0f;
+        row[5] = fin ? static_cast<float>(local_xy[2 * di + 1]) : 0.0f;
+    }
+}
+
 }  // extern "C"
 
 // ---------------------------------------------------------------------------

@@ -25,6 +25,7 @@ psum).
 from __future__ import annotations
 
 import functools
+import math
 from typing import Dict, List, Optional, Tuple
 
 import jax
@@ -460,6 +461,54 @@ def lm_solve(
     return poses_out, chi2_out, it
 
 
+def _sqrt_info_3x3(cov):
+    """info = 0.5·(inv(cov) + inv(cov)^T), sqrt_info = chol(info)^T
+    (upper factor, U^T U = info — ceres_solver.cpp:364-376), in closed
+    form: the per-edge LAPACK inv+cholesky round trip cost ~35 us on the
+    drain bookkeeping path (one call per graph edge). Falls back to the
+    LAPACK path on any degenerate input (non-finite, non-SPD)."""
+    (a, b, c), (d, e, f), (g, h, i) = cov.tolist()
+    # adjugate inverse
+    A = e * i - f * h
+    B = -(d * i - f * g)
+    C = d * h - e * g
+    det = a * A + b * B + c * C
+    if det > 0.0 and math.isfinite(det):
+        inv_det = 1.0 / det
+        m00 = A * inv_det
+        m01 = -(b * i - c * h) * inv_det
+        m02 = (b * f - c * e) * inv_det
+        m10 = B * inv_det
+        m11 = (a * i - c * g) * inv_det
+        m12 = -(a * f - c * d) * inv_det
+        m20 = C * inv_det
+        m21 = -(a * h - b * g) * inv_det
+        m22 = (a * e - b * d) * inv_det
+        # symmetrize, then lower Cholesky (returned transposed = upper)
+        s01 = 0.5 * (m01 + m10)
+        s02 = 0.5 * (m02 + m20)
+        s12 = 0.5 * (m12 + m21)
+        if m00 > 0.0:
+            l00 = math.sqrt(m00)
+            l10 = s01 / l00
+            l20 = s02 / l00
+            t11 = m11 - l10 * l10
+            if t11 > 0.0:
+                l11 = math.sqrt(t11)
+                l21 = (s12 - l20 * l10) / l11
+                t22 = m22 - l20 * l20 - l21 * l21
+                if t22 > 0.0 and math.isfinite(t22):
+                    l22 = math.sqrt(t22)
+                    return np.array([
+                        [l00, l10, l20],
+                        [0.0, l11, l21],
+                        [0.0, 0.0, l22],
+                    ])
+    info = np.linalg.inv(cov)
+    info = 0.5 * (info + info.T)
+    return np.linalg.cholesky(info).T
+
+
 class PoseGraphSolver:
     """Incremental SE(2) pose-graph solver (ScanSolver-equivalent)."""
 
@@ -497,10 +546,7 @@ class PoseGraphSolver:
         # (id2,id1) would silently double-count the constraint
         if (id2, id1) in self._edges:
             return False
-        info = np.linalg.inv(np.asarray(covariance, dtype=np.float64))
-        info = 0.5 * (info + info.T)
-        # matrixU of LLT: upper factor U with U^T U = info
-        sqrt_info = np.linalg.cholesky(info).T
+        sqrt_info = _sqrt_info_3x3(np.asarray(covariance, np.float64))
         self._edges[(id1, id2)] = (
             np.asarray(rel_pose, dtype=np.float64).copy(),
             sqrt_info,
