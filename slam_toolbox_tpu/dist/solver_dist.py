@@ -29,6 +29,7 @@ AXIS = "graph"
 def make_distributed_gn_step(
     mesh: Mesh, n_nodes: int, cg_iters: int = 50, schwarz: bool = True,
     block: int = 512, cblock: int = 64, cg_rtol: float = None,
+    max_coarse: int = 2048,
 ):
     """Returns a jitted, shard_mapped function computing one damped GN step.
 
@@ -163,8 +164,14 @@ def make_distributed_gn_step(
             # the two-level condition number (~H_c/h), so smaller is
             # better until the replicated dense coarse factor dominates;
             # clamp NB to keep that factor cheap at 500k+ nodes
+            # max_coarse caps NB so the replicated dense coarse factor
+            # ((3*NB)^3 flops, (3*NB)^2 memory per device) stays cheap;
+            # the f64 49k matrix raises it to keep 16-node aggregates —
+            # iteration counts track the aggregate size (two-level H/h),
+            # so holding cb fixed keeps CG flat across graph sizes
+            # (DIST_SCALING_F64, VERDICT r4 next #3)
             cb = cblock
-            while n_nodes // cb > 2048:
+            while n_nodes // cb > max_coarse:
                 cb *= 2
             cb = min(cb, n_nodes)
             while n_nodes % cb:
@@ -388,6 +395,7 @@ def distributed_lm_solve(
     cblock: int = None,
     cg_rtol: float = None,
     dtype=np.float32,
+    max_coarse: int = None,
 ):
     """Host LM loop over the distributed GN step. Edge arrays must be
     padded to a multiple of the mesh size.
@@ -410,6 +418,14 @@ def distributed_lm_solve(
         # (round-4 probes; f32's resolvability floor ~1e-5 never
         # exercises those decades, so 64 stays optimal there)
         cblock = 16 if np.dtype(dtype) == np.float64 else 64
+    if max_coarse is None:
+        # f64: let the 16-node aggregates survive to ~64k nodes (the
+        # 12k-flat CG counts depend on the aggregate SIZE, not count;
+        # 4096 aggregates = a (12288)^2 f64 replicated factor, ~1.2 GB
+        # + a few seconds per LM step on a CPU mesh — the price of
+        # keeping 49k <= 30 iterations like 12k). f32 keeps the cheap
+        # 2048 cap (its rtol floor never exercises the extra decades).
+        max_coarse = 4096 if np.dtype(dtype) == np.float64 else 2048
     e = len(src)
     assert e % n_dev == 0, "pad edges to a multiple of the mesh size"
     n_pad = len(poses)
@@ -419,7 +435,7 @@ def distributed_lm_solve(
 
     step = make_distributed_gn_step(
         mesh, n_pad, cg_iters=cg_iters, block=block_g, cblock=cblock,
-        cg_rtol=cg_rtol,
+        cg_rtol=cg_rtol, max_coarse=max_coarse,
     )
 
     # partition edges by owning node slice so each device's shard holds
