@@ -40,6 +40,18 @@ def _emit(metric, value, unit, baseline):
     }))
 
 
+def _load_info():
+    """Host load fields for every CONFIG artifact (VERDICT r4 next #4):
+    a 1-min load beyond the bench's own ~2 processes on this 2-core host
+    means the number is a contention-bound lower bound."""
+    try:
+        load = float(os.getloadavg()[0])
+    except OSError:
+        return {}
+    return {"load_1m": round(load, 2),
+            "contended": bool(load > (os.cpu_count() or 1) + 1)}
+
+
 def _apartment():
     from slam_toolbox_tpu.io.dataset import SegmentWorld
 
@@ -318,6 +330,7 @@ def cmd_config3(args) -> int:
         "metric": "lifelong_warehouse_scans_per_sec",
         "scans_processed": int(n_scans), "raw_scans": len(data),
         "laps": laps,
+        **_load_info(),
         "value_no_exclusions": round(sps_raw, 1),
         "value_stall_filtered": round(sps_f, 1),
         "wall_s": round(wall, 1), "stalls_excluded_s": round(stall, 1),
@@ -485,6 +498,38 @@ def _load_lap(path, laser):
     return out
 
 
+def _repeat_circuit(data, repeats, odom_noise, seed):
+    """Tile a CLOSED localization circuit `repeats` times with freshly
+    drawn CONTINUOUS odometry noise (ranges + ground truth repeat; the
+    5k-scan steady state VERDICT r4 next #4 asks for would cost ~1 h of
+    re-raycasting against the 100k-prior world otherwise)."""
+    import types
+
+    from slam_toolbox_tpu.io.dataset import _compose_np, _relative_np
+
+    if repeats <= 1:
+        return data
+    rng = np.random.default_rng(seed)
+    gts = [np.asarray(tp) for _, tp in data] * repeats
+    ranges = [r.ranges for r, _ in data] * repeats
+    out = []
+    odom = np.array(gts[0])
+    prev = gts[0]
+    for i, (tp, rr) in enumerate(zip(gts, ranges)):
+        if i > 0:
+            rel = _relative_np(prev, tp)
+            rel[0] += rng.normal(0, odom_noise[0])
+            rel[1] += rng.normal(0, odom_noise[0] * 0.3)
+            rel[2] += rng.normal(0, odom_noise[1])
+            odom = _compose_np(odom, rel)
+            prev = tp
+        out.append((
+            types.SimpleNamespace(ranges=rr, odom_pose=odom.copy()),
+            np.array(tp),
+        ))
+    return out
+
+
 def cmd_config4(args) -> int:
     """Localization against a large prior graph (BASELINE config 4):
     build + serialize a big session, then run elastic localization on a
@@ -508,8 +553,9 @@ def cmd_config4(args) -> int:
             print(f"# config4: cached prior {cache}", file=sys.stderr)
         else:
             world = build_prior_snapshot(cache, n_nodes, laser)
-        # localization lap: serpentine over the first rows of the big
-        # warehouse (same world, fresh noise)
+        # localization circuit: serpentine over the first rows of the
+        # big warehouse and back (CLOSED loop, same world, fresh noise)
+        # — closure lets --loc-repeat tile it for a long steady state
         per_row = int(60.0 / 0.3)
         lap_rows = 4
         wps = []
@@ -519,16 +565,29 @@ def cmd_config4(args) -> int:
                 wps += [(1.0, y), (1.0 + 59.7, y)]
             else:
                 wps += [(1.0 + 59.7, y), (1.0, y)]
-        lap_cache = (f"/tmp/slam_loc_lap_{n_nodes}_{laser.n_beams}"
+        for row in range(lap_rows - 1, -1, -1):  # return leg
+            y = row * 2.0
+            if row % 2 == 0:
+                wps += [(1.0 + 59.7, y), (1.0, y)]
+            else:
+                wps += [(1.0, y), (1.0 + 59.7, y)]
+        lap_cache = (f"/tmp/slam_loc_circ_{n_nodes}_{laser.n_beams}"
                      f"_{lap_rows}.npz")
         if os.path.exists(lap_cache):
             data2 = _load_lap(lap_cache, laser)
-            print(f"# config4: cached lap {lap_cache}", file=sys.stderr)
+            print(f"# config4: cached circuit {lap_cache}",
+                  file=sys.stderr)
         else:
             sim2 = LidarSimulator(world, laser, range_noise=0.01,
                                   odom_noise=(0.012, 0.005), seed=29)
             data2 = sim2.simulate(np.array(wps), step=0.3)
             _save_lap(lap_cache, data2)
+        if getattr(args, "loc_repeat", 1) > 1:
+            data2 = _repeat_circuit(
+                data2, args.loc_repeat, (0.012, 0.005), seed=31
+            )
+            print(f"# config4: circuit x{args.loc_repeat} = "
+                  f"{len(data2)} raw scans", file=sys.stderr)
     else:
         world, aisles, length, pitch = _warehouse()
         sim = LidarSimulator(world, laser, range_noise=0.01,
@@ -658,6 +717,7 @@ def cmd_config4(args) -> int:
                   file=sys.stderr)
     art = {
         "metric": "localization_scans_per_sec",
+        **_load_info(),
         "prior_nodes": int(loc.mapper.solver.n_nodes),
         "scans_localized": int(len(lat_a)),
         "prime_s": round(t_prime, 2),
@@ -753,6 +813,10 @@ def main() -> int:
                        default=1.0 / 3,
                        help="beam angular resolution in degrees")
         p.add_argument("--sessions", type=int, default=3)
+        p.add_argument("--loc-repeat", dest="loc_repeat", type=int,
+                       default=1,
+                       help="tile the closed localization circuit this "
+                            "many times (config4 steady-state length)")
         p.add_argument("--prior-nodes", dest="prior_nodes", type=int,
                        default=0, help="config4: synthesize an N-node "
                        "prior directly (BASELINE scale)")

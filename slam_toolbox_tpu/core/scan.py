@@ -120,7 +120,7 @@ class LocalizedScan:
         "state_id", "unique_id", "_points", "_valid", "_barycenter", "_bbox",
         "_fvp", "_dev_local", "_stream_arrays",
         "_local_pts", "_filtered", "_local_bary", "_sensor_pose",
-        "_pack_dev", "_pool_slot", "__weakref__",
+        "_pack_dev", "_pool_slot", "_dev_pose", "__weakref__",
     )
 
     def __init__(self, laser: LaserConfig, ranges, odom_pose, time: float = 0.0):
@@ -144,6 +144,7 @@ class LocalizedScan:
         self._sensor_pose = None
         self._pack_dev = None
         self._pool_slot = None
+        self._dev_pose = None  # sensor pose the device ring believes
 
     # -- pose accessors (Karto.h:5536-5596) --------------------------------
     @property

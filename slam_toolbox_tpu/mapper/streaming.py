@@ -20,6 +20,7 @@ the TPU-native latency-hiding design (BASELINE.json north star).
 """
 from __future__ import annotations
 
+import math
 import weakref
 from typing import Dict, List
 
@@ -65,6 +66,19 @@ POOL_SEED_CAP = int(_os.environ.get("SLAM_POOL_SEED_CAP", "8192"))
 # path); the commit validates chain identity + pose stability and
 # redispatches on mismatch. SLAM_SPEC_LOOP=0 disables for A/B.
 SPEC_LOOP = _os.environ.get("SLAM_SPEC_LOOP", "1") != "0"
+# staleness-gated resync (round 5): after bookkeeping moves host poses
+# (loop closure / chain fusion), the device ring is rebuilt ONLY when a
+# ring-mirrored scan's pose actually diverged from what the device
+# believes by more than this endpoint-level bound (meters; heading
+# counts at the 10 m max-beam lever arm). Late-run closure corrections
+# are sub-millimeter, and unconditionally resyncing forced the
+# settle-first drain ordering — which exposes the whole ~600 ms batch
+# program on the critical path (drain_fetch ~520 ms measured). 0.003 m
+# is sub-cell at the 0.01 m correlation resolution, so skipped rebuilds
+# perturb match responses by at most an occasional one-cell flip (same
+# family as the documented f32-vs-f64 envelope). SLAM_RESYNC_EPS=0
+# restores the unconditional rebuild.
+RESYNC_EPS = float(_os.environ.get("SLAM_RESYNC_EPS", "0.003"))
 # early-verify drain ordering (round 4): finish the newest scan's
 # bookkeeping first and dispatch the deferred loop verify BEFORE the
 # rest of the batch's bookkeeping, hiding the verify's device time
@@ -520,6 +534,9 @@ class StreamingPipeline:
         # candidate chains (closures likely -> settle-first ordering);
         # cleared when a loop event comes up empty
         self._loop_hot = False
+        # True while closures move ring poses beyond RESYNC_EPS (drives
+        # the settle-first hysteresis; starts conservative)
+        self._closure_hot = True
         self._t_drain_end = None  # accum-window stage timing
         self.pack_pool = PackPool(self.B)
         mapper._pack_pool = self.pack_pool  # loop verify gathers from it
@@ -608,6 +625,7 @@ class StreamingPipeline:
             st["ring_dvalid"][i] = (flags & 2) > 0
             st["ring_pose"][i] = s.sensor_pose
             st["ring_slot_valid"][i] = True
+            s._dev_pose = np.array(s.sensor_pose)
         if last is not None:
             st["last_odom"] = last.odom_pose.astype(np.float32)
             st["last_corrected"] = last.corrected_pose.astype(np.float32)
@@ -751,10 +769,21 @@ class StreamingPipeline:
         # in-flight batch after each closure (measured 3x batch device
         # time per drain: drain_fetch 984 ms vs 419 ms of batch time,
         # scripts/exp_drain_decomp2.py / exp_pipe_ab.py).
+        # with the staleness-gated resync active, closure-heavy phases
+        # force settle-first only while closures are ACTUALLY moving
+        # ring poses beyond eps (_closure_hot): early-mapping closures
+        # with cm-scale corrections keep the round-4 ordering (a
+        # dispatch-first closure re-runs the in-flight batches — the
+        # measured 3x-device-time pathology), while steady-state
+        # sub-millimeter closures keep the dispatch-first overlap. With
+        # the gate off (SLAM_RESYNC_EPS=0) every closure counts as hot.
+        closure_hot = RESYNC_EPS == 0.0 or getattr(
+            self, "_closure_hot", True
+        )
         settle_first = ADAPTIVE and (
-            self._deferred_loop is not None
-            or self._needs_resync
-            or self._loop_hot
+            self._needs_resync
+            or ((self._deferred_loop is not None or self._loop_hot)
+                and closure_hot)
         )
         if settle_first:
             with stage_timer(self.mapper.stats, "commit_total"):
@@ -906,7 +935,13 @@ class StreamingPipeline:
                 )
         finally:
             if any_closed:
-                self._needs_resync = True
+                hot = (RESYNC_EPS == 0.0
+                       or self._ring_staleness() > RESYNC_EPS)
+                # drives the settle-first hysteresis: closures that move
+                # ring poses beyond eps keep the conservative ordering
+                self._closure_hot = hot
+                if hot:
+                    self._needs_resync = True
         return any_closed
 
     def _commit(self) -> None:
@@ -972,16 +1007,27 @@ class StreamingPipeline:
 
     def _flag_resync(self, scans, moved_uids, any_closed, buffer_changed):
         """Decide whether host bookkeeping diverged from the device ring.
-        Closures and buffer edits always do. Chain fusion only matters
-        when a moved scan is still in the running window (= mirrored by
-        the device ring) or is the propagation anchor (the last scan) —
-        movers already evicted from the running buffer left the ring the
-        same way on device, so a rebuild would reproduce the current
-        state."""
-        if any_closed or buffer_changed:
+        Buffer edits always do (ring membership changed). Pose moves
+        (loop closures, chain fusion) only matter when a ring-mirrored
+        scan (running window or the propagation anchor) ACTUALLY moved —
+        and, with SLAM_RESYNC_EPS > 0, moved beyond the staleness bound:
+        late-run closure corrections are sub-millimeter, and a rebuild
+        forces the settle-first drain ordering that exposes the whole
+        batch program's device time (round-5; see RESYNC_EPS above)."""
+        if buffer_changed:
             self._needs_resync = True
             return
-        if not moved_uids:
+        if not (any_closed or moved_uids):
+            return
+        if RESYNC_EPS > 0.0:
+            stale = self._ring_staleness() > RESYNC_EPS
+            if any_closed:
+                self._closure_hot = stale
+            if stale:
+                self._needs_resync = True
+            return
+        if any_closed:
+            self._needs_resync = True
             return
         sm = self.mapper.sensor_manager
         name = scans[-1].laser.name
@@ -994,6 +1040,30 @@ class StreamingPipeline:
         }
         if moved_uids & running:
             self._needs_resync = True
+
+    def _ring_staleness(self) -> float:
+        """Max endpoint-level divergence between the host's current
+        sensor poses and what the device ring believes, over the
+        ring-mirrored scans (running window + last): position delta plus
+        heading delta at the 10 m max-beam lever arm. Scans with no
+        recorded device pose count as infinitely stale."""
+        sm = self.mapper.sensor_manager
+        name = self.laser.name
+        last = sm.get_last_scan(name)
+        worst = 0.0
+        check = list(sm.get_running_scans(name))[-(self.K + 2):]
+        if last is not None and last not in check:
+            check.append(last)
+        for s in check:
+            dev = getattr(s, "_dev_pose", None)
+            if dev is None:
+                return float("inf")
+            cur = s.sensor_pose
+            d = math.hypot(cur[0] - dev[0], cur[1] - dev[1])
+            dth = abs(math.atan2(math.sin(cur[2] - dev[2]),
+                                 math.cos(cur[2] - dev[2])))
+            worst = max(worst, d + 10.0 * dth)
+        return worst
 
     def _drain_serial(self, scans) -> None:
         """Serial drain (SLAM_STREAM_PIPELINE=0): dispatch, fetch, and
@@ -1096,6 +1166,9 @@ class StreamingPipeline:
                 scan.set_sensor_pose(mean)
             else:
                 cov = np.eye(3)
+            # what the device ring believes this scan's sensor pose is
+            # (the staleness-gated resync compares against it)
+            scan._dev_pose = np.array(scan.sensor_pose)
             return cov
 
         buffer_changed = False
