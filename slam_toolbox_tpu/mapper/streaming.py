@@ -721,6 +721,29 @@ class StreamingPipeline:
         while (self._pending_drain is not None
                or self._deferred_loop is not None):
             self._commit()
+        # rate-limited cadences (loop_attempt_interval_scans > 0) may
+        # leave the tail scans without a closure attempt — the final
+        # map then misses its last loop edges (measured ATE 0.029 ->
+        # 0.077 when the last partial drain fell under the interval).
+        # A terminal attempt on the newest scan restores the reference
+        # flush semantics (the classic path attempts every scan).
+        cfg = self.mapper.config
+        if (getattr(cfg, "loop_attempt_interval_scans", 0) > 0
+                and getattr(self, "_scans_since_loop", 0) > 0
+                and cfg.use_scan_matching and cfg.do_loop_closing):
+            last = self.mapper.sensor_manager.get_last_scan(
+                self.laser.name
+            )
+            if last is not None:
+                handle = self.mapper.graph.try_close_loop_begin(
+                    last, self.laser.name
+                )
+                closed = (handle if isinstance(handle, bool)
+                          else self.mapper.graph.try_close_loop_finish(
+                              handle))
+                self._scans_since_loop = 0
+                if closed:
+                    self._needs_resync = True
         if self._needs_resync:
             self.refresh_state()
             self._needs_resync = False
@@ -780,9 +803,25 @@ class StreamingPipeline:
         closure_hot = RESYNC_EPS == 0.0 or getattr(
             self, "_closure_hot", True
         )
+        # can the commit we are about to run even ATTEMPT a closure?
+        # With loop_attempt_interval_scans rate-limiting, attempt-free
+        # commits cannot move poses beyond the eps-gated fusion case,
+        # so they keep the dispatch-first overlap regardless of the
+        # closure hysteresis (same arithmetic as _bookkeep's
+        # attempt_loop gate, evaluated for the pending batch)
+        cfg_m = self.mapper.config
+        pd_prev = self._pending_drain
+        attempt_next = (
+            pd_prev is not None
+            and cfg_m.use_scan_matching and cfg_m.do_loop_closing
+            and (getattr(self, "_scans_since_loop", 0)
+                 + len(pd_prev.scans))
+            >= getattr(cfg_m, "loop_attempt_interval_scans", 0)
+        )
         settle_first = ADAPTIVE and (
             self._needs_resync
-            or ((self._deferred_loop is not None or self._loop_hot)
+            or ((self._deferred_loop is not None
+                 or (self._loop_hot and attempt_next))
                 and closure_hot)
         )
         if settle_first:
